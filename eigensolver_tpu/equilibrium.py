@@ -1,0 +1,141 @@
+"""Derived equilibrium fields.
+
+For the density cases the reference derives all internal speeds from the single
+density profile under total-pressure balance
+(`multiprocessor_Inhomogeneous_method.py:143-160`, `Density_cylinder.py:155-221`):
+
+    rho_i(x) = profile(x)
+    vA_i(x)  = vA_i0 sqrt(rho_i0 / rho_i(x))        [B constant]
+    c_i(x)   = sqrt( rho_e (c_e^2 + g/2 vA_e^2) / rho_i(x)  -  g/2 vA_i(x)^2 )
+    cT_i(x)  = c_i vA_i / sqrt(c_i^2 + vA_i^2)
+
+For the twisted (rotational flow) cases the internal pressure instead follows
+from radial force balance with the azimuthal flow
+(`Twisted_photospheric_flow_sausage.py:183-189`):
+
+    P_i(r) = rho_i0 v_twist^2 r^(2p) / (2p) + P_0,   c_i(r)^2 = gamma P_i / rho_i0
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from .config import CaseConfig, ProfileConfig, ProfileKind, Regime
+from .profiles import Profile, elementwise_grad, make_profile
+
+
+@dataclasses.dataclass(frozen=True)
+class Equilibrium:
+    """Bundle of callable equilibrium fields f(x) -> array (closed-form JAX)."""
+
+    regime: Regime
+    rho_i: Profile
+    c_i: Profile
+    vA_i: Profile
+    cT_i: Profile
+    B_i: Profile                    # longitudinal field B_z(r) (cylinder) / B_0
+    U_i: Profile                    # longitudinal flow profile (slab flow cases)
+    v_phi: Profile                  # azimuthal flow v_phi(r) (rotational flow)
+    B_phi: Profile                  # azimuthal field B_phi(r)
+    P_i: Profile
+
+    def boundary_speeds(self, x_b: float = 1.0):
+        """Characteristic speeds evaluated at the layer edge |x| = x_b
+        (reference `c_bound`/`vA_bound`/`cT_bound`,
+        `multiprocessor_Inhomogeneous_method.py:166-169`)."""
+        xb = jnp.asarray(x_b, dtype=jnp.float64)
+        c_b = float(self.c_i(xb))
+        vA_b = float(self.vA_i(xb))
+        cT_b = (c_b * vA_b) / (c_b ** 2 + vA_b ** 2) ** 0.5
+        return c_b, vA_b, cT_b
+
+
+def _const(v: float) -> Profile:
+    def f(x):
+        return v + 0.0 * x
+    return f
+
+
+def make_equilibrium(case: CaseConfig) -> Equilibrium:
+    rg = case.regime
+    rho_e, g = rg.rho_e, rg.gamma
+
+    # --- density profile and pressure-balanced speeds -----------------------
+    rho_i = make_profile(case.density_profile, rg.rho_i0, rho_e)
+
+    if case.twist_profile is not None:
+        # Rotational-flow case: uniform density, force-balanced pressure.
+        v_phi = make_profile(case.twist_profile, 0.0, 0.0)
+        tp = case.twist_profile
+        amp, p = tp.amplitude, tp.power
+        P_0 = rg.P_0
+
+        if case.b_twist_profile is not None:
+            B_phi = make_profile(case.b_twist_profile, 0.0, 0.0)
+        else:
+            B_phi = _const(0.0)
+
+        def rho_u(x):
+            return rg.rho_i0 + 0.0 * x
+
+        def P_i(r):
+            # radial force balance for v_phi = amp * r^p
+            # (`Twisted_photospheric_flow_sausage.py:183-185`)
+            return rho_u(r) * amp ** 2 * (r ** (2.0 * p) / (2.0 * p)) + P_0
+
+        def B_i(r):
+            # pressure-balanced B_z when an azimuthal field is present
+            # (`Twisted_photospheric_flow_sausage.py:167-173`)
+            return rg.B_0 * jnp.sqrt(1.0 - 2.0 * (B_phi(r) ** 2 / rg.B_0 ** 2))
+
+        def c_i(r):
+            return jnp.sqrt(P_i(r) * g / rho_u(r))
+
+        def vA_i(r):
+            return (B_i(r) + B_phi(r)) / jnp.sqrt(rho_u(r))
+
+        rho_fn = rho_u
+    else:
+        v_phi = _const(0.0)
+        B_phi = _const(0.0)
+        B_i = _const(rg.B_0)
+
+        def vA_i(x):
+            return rg.vA_i0 * jnp.sqrt(rg.rho_i0 / rho_i(x))
+
+        def c_i(x):
+            return jnp.sqrt(
+                rho_e * (rg.c_e ** 2 + 0.5 * g * rg.vA_e ** 2) / rho_i(x)
+                - 0.5 * g * vA_i(x) ** 2
+            )
+
+        def P_i(x):
+            return c_i(x) ** 2 * rho_i(x) / g
+
+        rho_fn = rho_i
+
+    def cT_i(x):
+        c2 = c_i(x) ** 2
+        a2 = vA_i(x) ** 2
+        return jnp.sqrt(c2 * a2 / (c2 + a2))
+
+    # --- longitudinal flow profile (slab flow / cylinder axial flow) --------
+    if case.flow_profile.kind == ProfileKind.UNIFORM and rg.U_i0 == rg.U_e == 0.0:
+        U_i = _const(0.0)
+    else:
+        U_i = make_profile(case.flow_profile, rg.U_i0, rg.U_e)
+
+    return Equilibrium(
+        regime=rg,
+        rho_i=rho_fn,
+        c_i=c_i,
+        vA_i=vA_i,
+        cT_i=cT_i,
+        B_i=B_i,
+        U_i=U_i,
+        v_phi=v_phi,
+        B_phi=B_phi,
+        P_i=P_i,
+    )

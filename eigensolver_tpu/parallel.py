@@ -1,0 +1,97 @@
+"""Multi-device / multi-host sharding of the candidate grid.
+
+The reference's only parallelism is one OS process per (k, speed-band) cell
+with `multiprocessing.Queue` collection (SURVEY.md P1/P2; 1800 concurrent
+processes for the cylinder sweep, `Density_cylinder.py:1126-1153`). The
+TPU-native equivalent: the flattened (k, band) ladder-row axis is sharded over
+a `jax.sharding.Mesh`; the ladder scan, bracketing and vectorised bisection are
+all row-local, so XLA SPMD runs them with zero communication; candidate roots
+are gathered to the host once at the end (replacing Queue+chain-flatten) and
+deduplicated there.
+
+Multi-host: `jax.distributed.initialize()` + the same mesh over all processes;
+the gather rides ICI within a slice and DCN across hosts.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import CaseConfig
+from .roots import RootBranch, RootSet, dedup_roots
+from .search import SearchConfig, collect, search_rows
+from .sweep import MODE_NAMES, SweepStats, build_ladders, make_dispersion
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]).reshape(n), axis_names=(axis,))
+
+
+def _pad_rows(arr: np.ndarray, multiple: int):
+    rows = arr.shape[0]
+    pad = (-rows) % multiple
+    if pad == 0:
+        return arr, rows
+    pad_block = np.repeat(arr[-1:], pad, axis=0)
+    return np.concatenate([arr, pad_block], axis=0), rows
+
+
+def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
+                     search: Optional[SearchConfig] = None,
+                     modes=None) -> tuple[RootSet, SweepStats]:
+    """Sharded sweep: identical results to `sweep.run_case`, candidate rows
+    distributed over the mesh. Padding rows duplicate the last row; their
+    roots are dropped by slicing before dedup."""
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    search = search or SearchConfig(
+        n_omega=case.grid.n_omega_ladder, n_bisect=case.grid.n_bisect)
+    modes = tuple(modes) if modes is not None else case.modes
+    scan_dt = jnp.dtype(search.scan_dtype)
+    polish_dt = jnp.dtype(search.polish_dtype)
+
+    omegas, ks = build_ladders(case, search.n_omega)
+    omegas = np.asarray(omegas)
+    ks = np.asarray(ks)
+    omegas_p, true_rows = _pad_rows(omegas, n_dev)
+    ks_p, _ = _pad_rows(ks, n_dev)
+
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    k_sharding = NamedSharding(mesh, P(axis))
+    om_dev = jax.device_put(jnp.asarray(omegas_p, scan_dt), row_sharding)
+    ks_dev = jax.device_put(jnp.asarray(ks_p, scan_dt), k_sharding)
+
+    branches: Dict[str, RootBranch] = {}
+    stats = SweepStats()
+    t0 = time.time()
+    for mode in modes:
+        disp_scan = jax.jit(jax.vmap(make_dispersion(case, mode, dtype=scan_dt)))
+        if polish_dt == scan_dt:
+            disp_polish = disp_scan
+        else:
+            disp_polish = jax.jit(
+                jax.vmap(make_dispersion(case, mode, dtype=polish_dt)))
+
+        pr = search_rows(disp_scan, disp_polish, om_dev, ks_dev, search)
+        # drop padding rows before collection
+        per_row = pr.omega.shape[0] // omegas_p.shape[0]
+        keep = true_rows * per_row
+        om_h = np.asarray(pr.omega)[:keep]
+        k_h = np.asarray(pr.k)[:keep]
+        mm_h = np.asarray(pr.mismatch)[:keep]
+        mask = np.asarray(pr.mask)[:keep]
+        om, kk = dedup_roots(om_h[mask], k_h[mask], rel_tol=case.tol.dedup_rel)
+        name = MODE_NAMES.get(mode, f"m{mode}")
+        branches[name] = RootBranch(omegas=om, ks=kk).sorted_by_k()
+        stats.n_candidates += omegas.size
+        stats.n_roots += len(om)
+    stats.wall_s = time.time() - t0
+    return RootSet(branches, case_name=case.name), stats

@@ -1,0 +1,238 @@
+"""Cylinder geometry dispersion function (Hain-Lust P_T formulation), TPU-native.
+
+Physics replicated from the reference solvers:
+- non-uniform density:    `Cylinder/Non-uniform density/Coronal/solvers/
+  Density_cylinder.py:546-825` (coefficient chain shift_freq, alfven_freq,
+  cusp_freq, D, Q, T, C1, C2, C3, F = rD/C3, g; interior ODE
+  P'' = -(F'/F)P' + (g/F)P; xi_r = (C1 P + D P')/C3; exterior modified-Bessel
+  ODE; xi_r continuity matching)
+- axial flow:             `Cylinder/Non-uniform flow/Coronal/solvers/
+  Cylinder_method_flow_testing.py:575-626` (Doppler shift_freq)
+- rotational flow:        `Cylinder/Rotational flow/Photospheric/Solvers/
+  Twisted_photospheric_flow_sausage.py:482-577` (v_phi = v_twist r^power,
+  force-balanced P_i(r), C1 with shift_freq^2, odeintz -> native complex)
+
+Design deltas vs the reference (SURVEY.md section 7):
+- The interior is integrated in the self-adjoint flux form (F P')' = g P with
+  state (P, w = F P'), so dF/F is never formed; xi_r = C1 P / C3 + w / r.
+  The reference re-derives F' and g *symbolically per (omega, k)*
+  (`Density_cylinder.py:601-619`) - here g's derivative terms come from
+  `jax.grad` of closed-form coefficient functions, traced once.
+- Instead of fsolve-shooting on the unknown boundary derivative
+  (`Density_cylinder.py:647-656`), we integrate TWO basis solutions inward
+  from r = 1 and form the 2x2 determinant
+      D(omega,k) = axis(u1) * match(u2) - axis(u2) * match(u1)
+  where axis(u) is the reference's axis condition (kink: P(eps) = 0,
+  `Density_cylinder.py:652-657`; sausage: P'(eps) = 0, `:1083-1085`) and
+  match(u) = xi_u(1) * P_e(1) - xi_e(1) * P_u(1) is interface continuity.
+  The same zeros, no nested root-find, fully vmappable.
+- The exterior (P'' = -P'/r + (m_e + m^2/r^2) P, `Density_cylinder.py:630-631`)
+  is integrated inward from r_far = W * 2pi/k with renormalised fixed-step RK4,
+  selecting the decaying K_m-direction solution exactly as the reference's
+  tiny-IC LSODA integration does. (An analytic Bessel-K fast path lives in
+  `eigensolver_tpu.special` / `kernels.bessel`.)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaseConfig
+from ..equilibrium import Equilibrium, make_equilibrium
+from ..ode import rk4_final
+
+
+class CylinderInterface(NamedTuple):
+    det: jnp.ndarray
+    mismatch_pct: jnp.ndarray
+    valid: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class CylinderPhysics:
+    case: CaseConfig
+    eq: Equilibrium
+
+    @classmethod
+    def from_case(cls, case: CaseConfig) -> "CylinderPhysics":
+        return cls(case=case, eq=make_equilibrium(case))
+
+    # -- Hain-Lust coefficient chain (closed-form; `Density_cylinder.py:569-619`,
+    #    twisted variant `Twisted_photospheric_flow_sausage.py:482-530`) --------
+
+    def coefficients(self, omega, k, m: int, twisted_c1: bool):
+        """Return closed-form scalar functions of r: D, C1, C2, C3, F, g."""
+        eq = self.eq
+
+        def shift_freq(r):
+            # `Twisted_photospheric_flow_sausage.py:482` (with v_phi(r));
+            # density case reduces to omega - k v_z.
+            return omega - m * eq.v_phi(r) / r - k * eq.U_i(r)
+
+        def alfven_freq(r):
+            return m * eq.B_phi(r) / r + k * eq.B_i(r) / jnp.sqrt(eq.rho_i(r))
+
+        def cusp_freq(r):
+            ci = eq.c_i(r)
+            return alfven_freq(r) * ci / jnp.sqrt(ci ** 2 + eq.vA_i(r) ** 2)
+
+        def Dfun(r):
+            s2 = shift_freq(r) ** 2
+            return (eq.rho_i(r) * (eq.c_i(r) ** 2 + eq.vA_i(r) ** 2)
+                    * (s2 - alfven_freq(r) ** 2) * (s2 - cusp_freq(r) ** 2))
+
+        def Qfun(r):
+            s = shift_freq(r)
+            fb = m * eq.B_phi(r) / r + k * eq.B_i(r)
+            return (-(s ** 2 - alfven_freq(r) ** 2) * eq.rho_i(r) * eq.v_phi(r) ** 2 / r
+                    + 2.0 * s ** 2 * eq.B_phi(r) ** 2 / r
+                    + 2.0 * s * eq.B_phi(r) * eq.v_phi(r) * fb / r)
+
+        def Tfun(r):
+            fb = m * eq.B_phi(r) / r + k * eq.B_i(r)
+            return fb * eq.B_phi(r) + eq.rho_i(r) * eq.v_phi(r) * shift_freq(r)
+
+        def C1fun(r):
+            s = shift_freq(r)
+            csum = eq.c_i(r) ** 2 + eq.vA_i(r) ** 2
+            sf = s ** 2 if twisted_c1 else s
+            # twisted solvers use Q * shift^2 (`Twisted_photospheric_flow_sausage.py:502`),
+            # the density/flow solvers Q * shift (`Density_cylinder.py:589-590`).
+            return (Qfun(r) * sf
+                    - 2.0 * m * csum * (s ** 2 - cusp_freq(r) ** 2) * Tfun(r) / r ** 2)
+
+        def C2fun(r):
+            s2 = shift_freq(r) ** 2
+            csum = eq.c_i(r) ** 2 + eq.vA_i(r) ** 2
+            return s2 ** 2 - csum * (m ** 2 / r ** 2 + k ** 2) * (s2 - cusp_freq(r) ** 2)
+
+        def C3diff(r):
+            return (eq.B_phi(r) / r) ** 2 - eq.rho_i(r) * (eq.v_phi(r) / r) ** 2
+
+        dC3diff = jax.grad(lambda r: jnp.reshape(C3diff(r), ()))
+
+        def C3fun(r):
+            s2 = shift_freq(r) ** 2
+            csum = eq.c_i(r) ** 2 + eq.vA_i(r) ** 2
+            return (Dfun(r) * (eq.rho_i(r) * (s2 - alfven_freq(r) ** 2)
+                               + r * dC3diff(r))
+                    + Qfun(r) ** 2
+                    - 4.0 * csum * (s2 - cusp_freq(r) ** 2) * Tfun(r) ** 2 / r ** 2)
+
+        def Ffun(r):
+            return r * Dfun(r) / C3fun(r)
+
+        rc1c3 = lambda r: r * C1fun(r) / C3fun(r)
+        drc1c3 = jax.grad(lambda r: jnp.reshape(rc1c3(r), ()))
+
+        def gfun(r):
+            # `Density_cylinder.py:617-619`
+            return (-drc1c3(r)
+                    - r * (C2fun(r) - C1fun(r) ** 2 / C3fun(r)) / Dfun(r))
+
+        return Dfun, C1fun, C3fun, Ffun, gfun
+
+    def exterior_m(self, omega, k):
+        rg = self.eq.regime
+        num = (k**2 * rg.vA_e**2 - omega**2) * (k**2 * rg.c_e**2 - omega**2)
+        den = (rg.vA_e**2 + rg.c_e**2) * (k**2 * rg.cT_e**2 - omega**2)
+        return num / den
+
+    # -- dispersion function ---------------------------------------------------
+
+    def make_dispersion(self, m: int, dtype=jnp.float64) -> Callable:
+        """disp(omega, k) -> CylinderInterface for azimuthal order m
+        (0 = sausage, 1 = kink)."""
+        case, eq = self.case, self.eq
+        gr = case.grid
+        n_int = gr.n_interior
+        n_ext = gr.n_exterior
+        eps = gr.axis_epsilon
+        twisted = case.twist_profile is not None
+        complex_mode = case.complex_omega or twisted
+        # twisted runs use complex odeintz in the reference even for real omega
+        # (`Twisted_photospheric_flow_sausage.py:555-577`); real omega keeps the
+        # result real in exact arithmetic, so we stay real unless omega is complex.
+        cdtype = jnp.result_type(dtype, jnp.complex64) if case.complex_omega else dtype
+
+        def disp(omega, k):
+            omega = jnp.asarray(omega, cdtype)
+            k = jnp.asarray(k, dtype)
+            rg = eq.regime
+
+            Dfun, C1fun, C3fun, Ffun, gfun = self.coefficients(
+                omega, k, m, twisted_c1=twisted)
+
+            # ---- interior: two basis solutions, inward r: 1 -> eps ----------
+            def rhs_int(r, y):
+                P, w = y[0], y[1]
+                return jnp.stack([w / Ffun(r), gfun(r) * P])
+
+            one = jnp.ones((), cdtype)
+            zero = jnp.zeros((), cdtype)
+            F1 = Ffun(jnp.asarray(1.0, dtype))
+            u1_0 = jnp.stack([one, zero])          # P(1)=1, P'(1)=0
+            u2_0 = jnp.stack([zero, F1 * one])     # P(1)=0, P'(1)=1  (w = F P')
+
+            r1 = jnp.asarray(1.0, dtype)
+            re_ = jnp.asarray(eps, dtype)
+            u1 = rk4_final(rhs_int, u1_0, r1, re_, n_int)
+            u2 = rk4_final(rhs_int, u2_0, r1, re_, n_int)
+
+            # axis condition (reference BCs at r = 0.001):
+            # m=0: P'(eps)=0 -> w(eps)=0 ; m>=1: P(eps)=0
+            if m == 0:
+                a1, a2 = u1[1], u2[1]
+            else:
+                a1, a2 = u1[0], u2[0]
+
+            # interface values at r=1 of each basis solution
+            C1_1 = C1fun(r1)
+            C3_1 = C3fun(r1)
+            # xi_r = C1 P / C3 + w / r   (from xi_r = (C1 P + D P')/C3, w = F P',
+            #  D/(F C3) = 1/r; reference `Density_cylinder.py:664`)
+            xi1 = C1_1 * 1.0 / C3_1 + zero          # u1: P=1, w=0
+            xi2 = F1 / 1.0                           # u2: P=0, w=F(1)
+
+            # ---- exterior: inward from r_far -> 1, decaying K_m direction ----
+            m_e = self.exterior_m(omega, k)
+            r_far = gr.exterior_wavelengths * 2.0 * jnp.pi / k
+
+            def rhs_ext(r, y):
+                P, dP = y[0], y[1]
+                return jnp.stack([dP, -dP / r + (m_e + (m * m) / r ** 2) * P])
+
+            y0 = jnp.stack([jnp.asarray(1e-8, cdtype), jnp.asarray(-1e-8, cdtype)])
+            ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext)
+            P_e, dP_e = ye[0], ye[1]
+            # normalise to P_e(1) = 1 to keep determinant scale sane
+            dP_e = dP_e / P_e
+            P_e = jnp.ones_like(P_e)
+            xi_e = dP_e / (rg.rho_e * (omega ** 2 - k ** 2 * rg.vA_e ** 2))
+
+            # ---- 2x2 determinant --------------------------------------------
+            m1 = xi1 * P_e - xi_e * 1.0    # u1: P_u(1)=1
+            m2 = xi2 * P_e - xi_e * 0.0    # u2: P_u(1)=0
+            det = a1 * m2 - a2 * m1
+
+            # reference-style % mismatch of xi_r after pressure matching:
+            # combination u = A u1 + B u2 with axis condition satisfied,
+            # scaled so P(1) = P_e(1) = 1  =>  A=1, B=-a1/a2.
+            B = -a1 / a2
+            xi_i = xi1 + B * xi2
+            num = jnp.abs(xi_e - xi_i)
+            den = jnp.maximum(jnp.abs(xi_e), jnp.abs(xi_i))
+            mismatch = 100.0 * num / den
+
+            if case.complex_omega:
+                valid = m_e.real > 0
+            else:
+                valid = m_e > 0
+            if not complex_mode:
+                det = jnp.real(det)
+            return CylinderInterface(det=det, mismatch_pct=mismatch, valid=valid)
+
+        return disp

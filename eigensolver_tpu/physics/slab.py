@@ -1,0 +1,222 @@
+"""Slab geometry dispersion function (vx formulation), TPU-native.
+
+Physics replicated from the reference solvers (capability parity, new design):
+- non-uniform density:   `Slab/Non uniform density/Photospheric/Solvers/
+  multiprocessor_Inhomogeneous_method.py:307-525` (interior ODE
+  vx'' = -(F'/F) vx' + m0 vx, parity BCs, total-pressure matching)
+- uniform flow:          `Slab/Non uniform flow/Solver/flow_multiprocessor.py:465-483`
+  (Doppler shift, xi = vx/Omega continuity across the flow jump)
+- non-uniform flow:      `flow_multiprocessor_coronal.py:317-356`
+  (shear terms D(x), coeff(x))
+- complex KH:            `COMPLEX ANALYSIS/flow_multiprocessor_complex_coronal.py:
+  368-403` (complex omega, extra pressure term add_P_Ti = -k U'/Omega)
+
+Design deltas vs the reference (SURVEY.md section 7):
+- The density-case interior is integrated in the self-adjoint "flux" form
+  (F vx')' = F m0 vx with state (vx, w = F vx'), so no dF/F is ever formed -
+  and total pressure is simply PT = w / Omega. This removes the per-(omega,k)
+  sympy diff/lambdify of the reference entirely.
+- Parity is imposed exactly at the centre (vx odd for sausage, even for kink)
+  instead of the reference's fsolve shooting on the unknown boundary derivative;
+  the zeros of the resulting 2x2 interface determinant coincide.
+- The exterior solution is analytic (constant coefficients): vx_e ~
+  exp(-sqrt(m_e)(x-1)), replacing the reference's 500-point LSODA integration
+  from tiny initial conditions.
+- Everything is closed-form JAX, jit once, vmap over the (omega, k) candidate
+  batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaseConfig
+from ..equilibrium import Equilibrium, make_equilibrium
+from ..ode import rk4_final
+from ..profiles import elementwise_grad
+
+
+class SlabInterface(NamedTuple):
+    """Quantities at the matching boundary x = +1 for one (omega, k)."""
+
+    det: jnp.ndarray          # dispersion determinant D(omega, k); roots = eigenvalues
+    mismatch_pct: jnp.ndarray  # reference-style % total-pressure mismatch after
+    #                            amplitude matching (acceptance metric, p_tol)
+    valid: jnp.ndarray        # evanescent exterior etc. (m_e > 0)
+
+
+def _sqrt_decay(m_e):
+    """Branch of sqrt with Re >= 0, so exp(-sqrt(m_e) x) decays as x -> +inf.
+    Matches the solution LSODA selects in the reference by integrating the
+    growing direction from tiny ICs."""
+    s = jnp.sqrt(m_e.astype(jnp.result_type(m_e, 1j)) if jnp.iscomplexobj(m_e) else m_e)
+    return s
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabPhysics:
+    """Dispersion-function factory for all slab cases."""
+
+    case: CaseConfig
+    eq: Equilibrium
+
+    @classmethod
+    def from_case(cls, case: CaseConfig) -> "SlabPhysics":
+        return cls(case=case, eq=make_equilibrium(case))
+
+    # -- coefficient functions (closed-form, traced under jit) ---------------
+
+    def exterior_m(self, omega, k):
+        """m_e^2 coefficient of the exterior equation vx'' = m_e vx
+        (`multiprocessor_Inhomogeneous_method.py:320`), Doppler-shifted when the
+        exterior flows (`flow_multiprocessor.py:465`)."""
+        rg = self.eq.regime
+        Om = omega - k * rg.U_e
+        num = (k**2 * rg.vA_e**2 - Om**2) * (k**2 * rg.c_e**2 - Om**2)
+        den = (rg.vA_e**2 + rg.c_e**2) * (k**2 * rg.cT_e**2 - Om**2)
+        return num / den
+
+    def exterior_PT_coeff(self, omega, k):
+        """p_e_const (`multiprocessor_Inhomogeneous_method.py:324`): PT_e =
+        p_e_const * vx_e'."""
+        rg = self.eq.regime
+        Om = omega - k * rg.U_e
+        return (
+            rg.rho_e * (rg.vA_e**2 + rg.c_e**2)
+            * (k**2 * rg.cT_e**2 - Om**2)
+            / (Om * (k**2 * rg.c_e**2 - Om**2))
+        )
+
+    def interior_F(self, x, omega, k):
+        """F(x) (`multiprocessor_Inhomogeneous_method.py:330-331`), with local
+        Doppler shift for flow cases."""
+        eq = self.eq
+        Om = omega - k * eq.U_i(x)
+        c2 = eq.c_i(x) ** 2
+        a2 = eq.vA_i(x) ** 2
+        cT2 = c2 * a2 / (c2 + a2)
+        return eq.rho_i(x) * (c2 + a2) * (k**2 * cT2 - Om**2) / (k**2 * c2 - Om**2)
+
+    def interior_m0(self, x, omega, k):
+        """m0(x) (`multiprocessor_Inhomogeneous_method.py:336`)."""
+        eq = self.eq
+        Om = omega - k * eq.U_i(x)
+        c2 = eq.c_i(x) ** 2
+        a2 = eq.vA_i(x) ** 2
+        cT2 = c2 * a2 / (c2 + a2)
+        return (k**2 * c2 - Om**2) * (k**2 * a2 - Om**2) / ((c2 + a2) * (k**2 * cT2 - Om**2))
+
+    # -- dispersion function -------------------------------------------------
+
+    def make_dispersion(self, parity: int, dtype=jnp.float64,
+                        include_shear_pressure: bool | None = None) -> Callable:
+        """Return disp(omega, k) -> SlabInterface.
+
+        parity: 0 = sausage (vx odd), 1 = kink (vx even) - reference BCs at
+        `multiprocessor_Inhomogeneous_method.py:380-385` (sausage) / `:618-623`
+        (kink), re-expressed as exact centre conditions.
+
+        include_shear_pressure: add the -k U'/Omega correction to interior PT
+        (`flow_multiprocessor_complex_coronal.py:401-403`). Defaults to True
+        only for complex-omega cases, mirroring the reference's per-file choice
+        (the real Gaussian-flow solver omits it, `flow_multiprocessor_coronal.py:356`).
+        """
+        case, eq = self.case, self.eq
+        n_steps = case.grid.n_interior
+        has_flow = case.regime.U_i0 != 0.0 or case.regime.U_e != 0.0 or \
+            case.flow_profile.kind.value != "uniform"
+        if include_shear_pressure is None:
+            include_shear_pressure = case.complex_omega
+
+        dU = elementwise_grad(eq.U_i)
+        ddU = elementwise_grad(dU)
+
+        cdtype = jnp.result_type(dtype, jnp.complex64) if case.complex_omega else dtype
+
+        def disp(omega, k):
+            omega = jnp.asarray(omega, cdtype)
+            k = jnp.asarray(k, dtype)
+
+            m_e = self.exterior_m(omega, k)
+            p_e = self.exterior_PT_coeff(omega, k)
+            sqm = jnp.sqrt(m_e.astype(cdtype)) if case.complex_omega else jnp.sqrt(
+                jnp.maximum(m_e, 0.0))
+
+            if not has_flow:
+                # --- self-adjoint flux form: state (vx, w = F vx') ----------
+                def rhs(x, y):
+                    vx, w = y[0], y[1]
+                    F = self.interior_F(x, omega, k)
+                    m0 = self.interior_m0(x, omega, k)
+                    return jnp.stack([w / F, F * m0 * vx])
+
+                F0 = self.interior_F(jnp.asarray(0.0, dtype), omega, k)
+                if parity == 0:   # sausage: vx odd => vx(0)=0, vx'(0)=1
+                    y0 = jnp.stack([jnp.zeros_like(F0), F0])
+                else:             # kink: vx even => vx(0)=1, vx'(0)=0
+                    y0 = jnp.stack([jnp.ones_like(F0), jnp.zeros_like(F0)])
+
+                yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
+                               jnp.asarray(1.0, dtype), n_steps)
+                vx_b, w_b = yb[0], yb[1]
+                Om_i = omega - k * eq.U_i(jnp.asarray(1.0, dtype))
+                PT_i = w_b / Om_i          # PT = F vx' / Omega = w / Omega
+            else:
+                # --- direct (vx, vx') form with shear terms -----------------
+                def rhs(x, y):
+                    vx, dvx = y[0], y[1]
+                    Om = omega - k * eq.U_i(x)
+                    rgl = eq.regime
+                    c2 = rgl.c_i0 ** 2
+                    a2 = rgl.vA_i0 ** 2
+                    cT2 = c2 * a2 / (c2 + a2)
+                    dUx = dU(x)
+                    ddUx = ddU(x)
+                    m0 = ((k**2 * c2 - Om**2) * (k**2 * a2 - Om**2)
+                          / ((c2 + a2) * (k**2 * cT2 - Om**2)))
+                    # shear coefficient D(x) (`flow_multiprocessor_complex_coronal.py:382`)
+                    Dx = (2.0 * k * dUx
+                          * (Om**2 / (Om**2 - k**2 * c2)
+                             - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
+                    coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
+                    return jnp.stack([dvx, -Dx * dvx - coeff * vx])
+
+                one = jnp.ones((), cdtype)
+                zero = jnp.zeros((), cdtype)
+                y0 = jnp.stack([zero, one]) if parity == 0 else jnp.stack([one, zero])
+                yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
+                               jnp.asarray(1.0, dtype), n_steps)
+                vx_b, dvx_b = yb[0], yb[1]
+                x1 = jnp.asarray(1.0, dtype)
+                Om_i = omega - k * eq.U_i(x1)
+                F1 = self.interior_F(x1, omega, k)
+                PT_i = (F1 / Om_i) * dvx_b
+                if include_shear_pressure:
+                    add = -(k * dU(x1)) / Om_i
+                    PT_i = (F1 / Om_i) * (dvx_b - add * vx_b)
+
+            # Exterior (x > 1): vx_e = exp(-sqm (x-1)); vx_e(1)=1, vx_e'(1)=-sqm.
+            Om_e = omega - k * eq.regime.U_e
+            PT_e = p_e * (-sqm)
+            xi_e = 1.0 / Om_e
+            xi_i = vx_b / Om_i
+
+            det = xi_i * PT_e - xi_e * PT_i
+
+            # Reference-style acceptance metric: scale interior so xi matches,
+            # then % mismatch of PT (`multiprocessor_Inhomogeneous_method.py:503`).
+            s = xi_e / xi_i
+            num = jnp.abs(PT_e - s * PT_i)
+            den = jnp.maximum(jnp.abs(PT_e), jnp.abs(s * PT_i))
+            mismatch = 100.0 * num / den
+
+            if case.complex_omega:
+                valid = m_e.real > 0
+            else:
+                valid = m_e > 0
+            return SlabInterface(det=det, mismatch_pct=mismatch, valid=valid)
+
+        return disp
