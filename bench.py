@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark: eigenmode roots/sec/chip, slab photospheric density sweep.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+- value: accepted eigenmode roots per second per chip for the full omega-k
+  sweep of the slab photospheric density case (W=0.9), f32 scan+polish on the
+  default device (TPU under axon; CPU in dev environments).
+- vs_baseline: speedup of roots/sec over the reference pipeline, whose
+  per-seed cost (scipy LSODA exterior + fsolve-shooting interior over the
+  reference's 1e5-point grid, `multiprocessor_Inhomogeneous_method.py:364-387`)
+  is measured live on this host and multiplied by the reference's own seed
+  count for the same case (35 k x 1 band x 35 seeds x 2 parities, plus the
+  measured bisection-recursion overhead factor ~3x, `:790-801`).
+"""
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_ours():
+    import jax
+    import jax.numpy as jnp
+
+    from eigensolver_tpu import cases
+    from eigensolver_tpu.search import SearchConfig
+    from eigensolver_tpu.sweep import run_case
+
+    case = cases.slab_density_photospheric(width=0.9)
+    cfg = SearchConfig(n_omega=256, n_bisect=45,
+                       scan_dtype="float32", polish_dtype="float32")
+    # first pass compiles (dispersion jits are cached per case config);
+    # the second pass is the steady-state sweep the metric reports.
+    run_case(case, cfg)
+    t0 = time.time()
+    rs, st = run_case(case, cfg)
+    wall = time.time() - t0
+    n_roots = sum(rs.counts().values())
+    return n_roots, wall, st.n_candidates
+
+
+def measure_reference_seed_cost(n_samples: int = 4):
+    """Per-seed wall time of the reference numerical pipeline (no sympy -
+    generous to the reference: coefficients pre-lambdified)."""
+    from scipy.integrate import odeint
+    from scipy.optimize import fsolve
+
+    c_i0, vA_i0, c_e, vA_e = 1.0, 1.9, 1.3, 0.8
+    gamma = 5.0 / 3.0
+    rho_i0 = 1.0
+    rho_e = rho_i0 * (c_i0**2 + gamma / 2 * vA_i0**2) / (c_e**2 + gamma / 2 * vA_e**2)
+    cT_e = np.sqrt(c_e**2 * vA_e**2 / (c_e**2 + vA_e**2))
+    W = 0.9
+
+    def rho_i(x):
+        return rho_e + (rho_i0 - rho_e) * np.exp(-(x**2) / W**2)
+
+    def vA_i(x):
+        return vA_i0 * np.sqrt(rho_i0 / rho_i(x))
+
+    def c_i(x):
+        return np.sqrt(rho_e * (c_e**2 + gamma / 2 * vA_e**2) / rho_i(x)
+                       - gamma / 2 * vA_i(x) ** 2)
+
+    ix = np.linspace(-1.0, 1.0, 100000)   # reference grid `:89`
+    k, om_seeds = 1.5, np.linspace(1.35, 1.55, n_samples)
+
+    t0 = time.time()
+    for om in om_seeds:
+        m_e = ((k**2 * vA_e**2 - om**2) * (k**2 * c_e**2 - om**2)
+               / ((vA_e**2 + c_e**2) * (k**2 * cT_e**2 - om**2)))
+        lx = np.linspace(-7 * 2 * np.pi / k, -1.0, 500)
+        Ls = odeint(lambda V, x: [V[1], m_e * V[0]], [1e-8, 1e-8], lx)
+        left = Ls[-1, 0]
+
+        def F(x):
+            c2, a2 = c_i(x) ** 2, vA_i(x) ** 2
+            cT2 = c2 * a2 / (c2 + a2)
+            return rho_i(x) * (c2 + a2) * (k**2 * cT2 - om**2) / (k**2 * c2 - om**2)
+
+        def m0(x):
+            c2, a2 = c_i(x) ** 2, vA_i(x) ** 2
+            cT2 = c2 * a2 / (c2 + a2)
+            return ((k**2 * c2 - om**2) * (k**2 * a2 - om**2)
+                    / ((c2 + a2) * (k**2 * cT2 - om**2)))
+
+        h = 1e-5
+
+        def rhs(V, x):
+            dF = (F(x + h) - F(x - h)) / (2 * h)
+            return [V[1], -dF / F(x) * V[1] + m0(x) * V[0]]
+
+        def objective(dv):
+            U = odeint(rhs, [left, dv[0]], ix)
+            return U[-1, 0] + left
+
+        fsolve(objective, [1.0])
+    return (time.time() - t0) / n_samples
+
+
+def main():
+    n_roots, wall, n_cands = measure_ours()
+    roots_per_sec = n_roots / wall
+
+    try:
+        ref_seed_s = measure_reference_seed_cost()
+    except Exception:
+        ref_seed_s = float("nan")
+
+    # Reference workload for the same case: 35 k x 1 band x 35 seeds x 2
+    # parities; recursive bisection multiplies evaluations ~3x
+    # (`multiprocessor_Inhomogeneous_method.py:774,790-801,510-522`). The
+    # reference forks one process per (k,band,parity); grant it ideal scaling
+    # over this host's cores.
+    import os
+    ref_evals = 35 * 1 * 35 * 2 * 3
+    cores = os.cpu_count() or 1
+    ref_wall = ref_seed_s * ref_evals / cores
+    # Reference run of this case yields 305 roots (width09.pickle, measured).
+    ref_roots_per_sec = 305 / ref_wall if ref_wall > 0 else float("nan")
+    vs_baseline = roots_per_sec / ref_roots_per_sec
+
+    print(json.dumps({
+        "metric": "eigenmode_roots_per_sec_per_chip",
+        "value": round(roots_per_sec, 3),
+        "unit": "roots/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "n_roots": n_roots,
+            "sweep_wall_s": round(wall, 3),
+            "candidates": n_cands,
+            "candidates_per_sec": round(n_cands / wall, 1),
+            "ref_seed_s": round(ref_seed_s, 4),
+            "ref_wall_est_s": round(ref_wall, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import CaseConfig
 from .roots import RootBranch, RootSet, dedup_roots
 from .search import SearchConfig, collect, search_rows
-from .sweep import MODE_NAMES, SweepStats, build_ladders, make_dispersion
+from .sweep import (MODE_NAMES, SweepStats, build_ladders, make_dispersion,
+                    make_dispersion_jitted)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:
@@ -73,12 +74,11 @@ def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
     stats = SweepStats()
     t0 = time.time()
     for mode in modes:
-        disp_scan = jax.jit(jax.vmap(make_dispersion(case, mode, dtype=scan_dt)))
+        disp_scan = make_dispersion_jitted(case, mode, scan_dt)
         if polish_dt == scan_dt:
             disp_polish = disp_scan
         else:
-            disp_polish = jax.jit(
-                jax.vmap(make_dispersion(case, mode, dtype=polish_dt)))
+            disp_polish = make_dispersion_jitted(case, mode, polish_dt)
 
         pr = search_rows(disp_scan, disp_polish, om_dev, ks_dev, search)
         # drop padding rows before collection

@@ -138,6 +138,44 @@ def collect(pr: PolishResult) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.asarray(pr.mismatch)[mask])
 
 
+def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,
+                  n_iter: int = 30, rel_halfwidth: float = 4e-7):
+    """Float64 re-bisection of f32-converged roots on the host CPU.
+
+    TPU v5e has no native f64 (emulation hangs the axon compile), so the broad
+    scan+polish run in f32 on-device; the accepted roots (a ~1000x smaller set)
+    are then re-bracketed within +-rel_halfwidth and bisected in f64 on CPU to
+    reach the 1e-7-relative target (BASELINE.md accuracy row).
+    """
+    if len(omegas) == 0:
+        return omegas
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        disp64 = jax.jit(jax.vmap(make_disp64()))
+        om = jnp.asarray(omegas, jnp.float64)
+        kk = jnp.asarray(ks, jnp.float64)
+        lo = om * (1.0 - rel_halfwidth)
+        hi = om * (1.0 + rel_halfwidth)
+        f_lo = disp64(lo, kk).det
+        f_hi = disp64(hi, kk).det
+        # where the f64 signs do not bracket (f32 root slightly off), widen once
+        bad = jnp.signbit(f_lo) == jnp.signbit(f_hi)
+        lo = jnp.where(bad, om * (1.0 - 8 * rel_halfwidth), lo)
+        hi = jnp.where(bad, om * (1.0 + 8 * rel_halfwidth), hi)
+        f_lo = disp64(lo, kk).det
+        lo_neg = jnp.signbit(f_lo)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            mid_neg = jnp.signbit(disp64(mid, kk).det)
+            go_right = mid_neg == lo_neg
+            return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+        return np.asarray(0.5 * (lo + hi))
+
+
 # ---------------------------------------------------------------------------
 # Complex-omega search (Kelvin-Helmholtz growth rates)
 # ---------------------------------------------------------------------------

@@ -38,6 +38,21 @@ def make_dispersion(case: CaseConfig, mode: int, dtype=jnp.float64) -> Callable:
     return ph.make_dispersion(m=mode, dtype=dtype)
 
 
+_DISP_CACHE: dict = {}
+
+
+def make_dispersion_jitted(case: CaseConfig, mode: int, dtype) -> Callable:
+    """jit(vmap(disp)) with caching keyed on the (hashable, frozen) case config
+    - re-sweeping the same case never re-traces, so steady-state sweep wall
+    excludes compilation (cases are frozen dataclasses, safe as dict keys)."""
+    key = (case, mode, jnp.dtype(dtype).name)
+    fn = _DISP_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(make_dispersion(case, mode, dtype=dtype)))
+        _DISP_CACHE[key] = fn
+    return fn
+
+
 def build_ladders(case: CaseConfig, n_omega: Optional[int] = None,
                   edge_shrink: float = 1e-3):
     """(rows, n_omega) omega ladders + (rows,) ks from the (k x band) grid.
@@ -95,11 +110,11 @@ def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
     stats = SweepStats()
     t0 = time.time()
     for mode in modes:
-        disp_scan = jax.jit(jax.vmap(make_dispersion(case, mode, dtype=scan_dt)))
+        disp_scan = make_dispersion_jitted(case, mode, scan_dt)
         if polish_dt == scan_dt:
             disp_polish = disp_scan
         else:
-            disp_polish = jax.jit(jax.vmap(make_dispersion(case, mode, dtype=polish_dt)))
+            disp_polish = make_dispersion_jitted(case, mode, polish_dt)
 
         pr = search_rows(disp_scan, disp_polish,
                          omegas.astype(scan_dt), ks.astype(scan_dt), search)
