@@ -1,0 +1,154 @@
+"""Visualization (L6): dispersion diagrams, eigenfunction profiles, 2-D
+cross-section animations and mp4 export.
+
+Capability parity with the reference's matplotlib layers: dispersion plots
+with characteristic-speed guide lines (`multiprocessor_Inhomogeneous_method.py:
+838-1087`), multi-panel eigenfunction figures (`analysis_compare_coronal_
+eigenfunctions_coronal.py`), contourf+quiver cross-section animations with
+boundary tracking (`v01_p1_2D_kink_visualisation.py:2444-2559`) and
+FuncAnimation+ffmpeg movies (`Gaussian_flow_Cylinder_movie.py:1166-1232`).
+
+Everything here is host-side matplotlib on already-computed arrays; headless
+(Agg) by default.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from .analysis import BranchFit
+from .config import Regime
+from .eigenfunctions import RadialEigenfunction
+from .roots import RootSet
+from .synthesis import FieldGrid
+
+
+SPEED_STYLES = {
+    "c_i0": ("k", "dashdot"), "cT_i0": ("k", "dotted"),
+    "c_e": ("b", "dashdot"), "vA_e": ("b", "dotted"), "c_kink": ("r", "dashed"),
+}
+
+
+def dispersion_diagram(rs: RootSet, rg: Regime, path: Optional[str] = None,
+                       fits: Optional[Dict[str, Dict[str, Sequence[BranchFit]]]] = None,
+                       v_lim: Optional[tuple] = None, title: str = ""):
+    """omega/k vs k scatter per mode family + characteristic-speed lines
+    (the reference's headline figure)."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    colors = {"sausage": "r", "kink": "b"}
+    for name, br in rs.branches.items():
+        if len(br) == 0:
+            continue
+        ax.plot(br.ks, br.phase_speeds(), ".", ms=3,
+                color=colors.get(name, "g"), label=name)
+    for sname, (c, ls) in SPEED_STYLES.items():
+        v = getattr(rg, sname, None)
+        if v:
+            ax.axhline(y=v, color=c, linestyle=ls, lw=0.8)
+            ax.annotate(f"${sname}$", xy=(ax.get_xlim()[1], v), fontsize=9)
+    if fits:
+        for mode_fits in fits.values():
+            for wfits in mode_fits.values():
+                for bf in wfits:
+                    kk = np.linspace(*bf.k_range, 100)
+                    ax.plot(kk, bf(kk), "-", lw=0.8, color="0.4")
+    ax.set_xlabel("$k x_0$")
+    ax.set_ylabel(r"$\omega / k$")
+    if v_lim:
+        ax.set_ylim(*v_lim)
+    if title:
+        ax.set_title(title)
+    ax.legend(loc="best", fontsize=8)
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def eigenfunction_figure(efs: Sequence[RadialEigenfunction],
+                         labels: Optional[Sequence[str]] = None,
+                         components: Sequence[str] = ("P_T", "xi_r"),
+                         path: Optional[str] = None):
+    """Multi-panel radial eigenfunction overlay (one panel per component, one
+    curve per eigenfunction - the reference's multi-width comparison layout)."""
+    n = len(components)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
+    for j, comp in enumerate(components):
+        ax = axes[0][j]
+        for i, ef in enumerate(efs):
+            y = getattr(ef, comp)
+            if y is None:
+                continue
+            norm = np.max(np.abs(y)) or 1.0
+            lbl = labels[i] if labels else f"v={ef.omega/ef.k:.4f}"
+            ax.plot(ef.x, y / norm, lw=1.0, label=lbl)
+        ax.axvline(x=1.0, color="k", lw=0.6, linestyle="dashed")
+        ax.set_xlabel("$r/x_0$")
+        ax.set_ylabel(rf"$\hat{{{comp}}}$".replace("P_T", "P_T").replace("_", r"\_"))
+        if j == 0:
+            ax.legend(fontsize=7)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def cross_section_frame(fields: Dict[str, np.ndarray], grid: FieldGrid,
+                        t_index: int = 0, z_index: int = 0,
+                        boundary: Optional[tuple] = None, ax=None,
+                        quiver_stride: int = 4):
+    """contourf(P_T) + quiver(v) polar cross-section at fixed (t, z)
+    (`v01_p1_2D_kink_visualisation.py:2467-2559`)."""
+    created = ax is None
+    if created:
+        fig, ax = plt.subplots(figsize=(6, 6))
+    R, TH = np.meshgrid(grid.r, grid.theta, indexing="ij")
+    X = R * np.cos(TH)
+    Y = R * np.sin(TH)
+    PT = fields["P_T"][t_index, :, :, z_index]
+    ax.contourf(X, Y, PT, levels=25, cmap="RdBu_r")
+    if "v_x" in fields:
+        s = quiver_stride
+        ax.quiver(X[::s, ::s], Y[::s, ::s],
+                  fields["v_x"][t_index, ::s, ::s, z_index],
+                  fields["v_y"][t_index, ::s, ::s, z_index],
+                  scale=None, width=0.003)
+    if boundary is not None:
+        bx, by = boundary
+        ax.plot(bx[t_index, :, z_index], by[t_index, :, z_index], "k-", lw=1.2)
+    ax.set_aspect("equal")
+    return ax.figure
+
+
+def animate_cross_section(fields: Dict[str, np.ndarray], grid: FieldGrid,
+                          path: str, z_index: int = 0, fps: int = 10,
+                          boundary: Optional[tuple] = None) -> str:
+    """mp4 (ffmpeg; falls back to .gif via Pillow when ffmpeg is missing)."""
+    from matplotlib import animation
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    n_t = fields["P_T"].shape[0]
+
+    def frame(ti):
+        ax.clear()
+        cross_section_frame(fields, grid, t_index=ti, z_index=z_index,
+                            boundary=boundary, ax=ax)
+        return []
+
+    ani = animation.FuncAnimation(fig, frame, frames=n_t, blit=False)
+    try:
+        writer = animation.FFMpegWriter(fps=fps)
+        ani.save(path, writer=writer)
+    except (FileNotFoundError, RuntimeError):
+        path = path.rsplit(".", 1)[0] + ".gif"
+        ani.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
