@@ -84,16 +84,31 @@ def slab_flow_gaussian_coronal(width: float = 1.0, U_i0: float = 0.9) -> CaseCon
     )
 
 
-def slab_flow_complex_coronal(width: float = 1.0, U_i0: float = 0.9) -> CaseConfig:
+def slab_flow_complex_coronal(width: float = 1e5, U_i0: float = 1.4) -> CaseConfig:
     """`Slab/Non uniform flow/COMPLEX ANALYSIS/flow_multiprocessor_complex_
-    coronal.py` - same equilibrium as the Gaussian-flow case but searching
-    complex omega for Kelvin-Helmholtz growth rates (imag seed band +-0.25,
-    `:1127`)."""
-    base = slab_flow_gaussian_coronal(width=width, U_i0=U_i0)
+    coronal.py:104-120` - Kelvin-Helmholtz growth-rate search in complex omega:
+    vA_i=1, c_i=1.3, vA_e=0, rho_i=9, rho_e=5 (independent of balance),
+    c_e = sqrt((rho_i/rho_e) c_i^2 + g/2 vA_i^2) (the file's own expression),
+    U_i0=1.4, Gaussian width 1e5 (`:165`); imag seed band +-0.25 (`:1127`);
+    k in [0.01, 2.5] x 20, speeds [-0.5, 0, 0.5, 1] (`:231`)."""
+    import math
+    c_i, vA_i = 1.3, 1.0
+    rho_i, rho_e = 9.0, 5.0
+    g = 5.0 / 3.0
+    c_e = math.sqrt((rho_i / rho_e) * c_i**2 + g * 0.5 * vA_i**2)
+    rg = Regime(c_i0=c_i, vA_i0=vA_i, c_e=c_e, vA_e=1e-12, rho_i0=rho_i,
+                rho_e_override=rho_e, U_i0=U_i0, U_e=0.0)
     return CaseConfig(
-        **{**base.__dict__,
-           "name": f"slab_flow_complex_coronal_w{width:g}",
-           "complex_omega": True},
+        name=f"slab_flow_complex_coronal_w{width:g}",
+        geometry=Geometry.SLAB,
+        regime=rg,
+        density_profile=ProfileConfig(kind=ProfileKind.UNIFORM),
+        flow_profile=ProfileConfig(kind=ProfileKind.GAUSSIAN, width=width),
+        k_min=0.01, k_max=2.5, n_k=20,
+        speeds=(-0.5, 0.0, 0.5, 1.0),
+        modes=(1,),
+        complex_omega=True,
+        imag_band=0.25,
     )
 
 

@@ -64,9 +64,15 @@ class Regime:
     U_i0: float = 0.0
     U_e: float = 0.0
     v_z: float = 0.0
+    # Some reference cases fix rho_e independently of pressure balance
+    # (e.g. the complex KH file hard-codes rho_i=9, rho_e=5,
+    # `flow_multiprocessor_complex_coronal.py:111-112`).
+    rho_e_override: Optional[float] = None
 
     @property
     def rho_e(self) -> float:
+        if self.rho_e_override is not None:
+            return self.rho_e_override
         g = self.gamma
         return (
             self.rho_i0
@@ -116,6 +122,10 @@ class GridConfig:
     n_exterior: int = 512        # fixed RK4 steps in the exterior region (cylinder)
     exterior_wavelengths: float = 3.0  # domain extent in units of 2*pi/k
     axis_epsilon: float = 1e-3   # cylinder axis cutoff (reference: r=0.001)
+    # cylinder exterior treatment: "bessel" evaluates the exact K_m logarithmic
+    # derivative (special.kve_ratio - faster and exact); "numeric" integrates
+    # the exterior ODE like the reference (`Density_cylinder.py:628-634`).
+    exterior_method: str = "bessel"
     n_omega_ladder: int = 256    # omega seeds per (k, band) cell
     n_bisect: int = 60           # bisection iterations per bracket
     n_newton: int = 12           # Newton polish iterations (complex path)

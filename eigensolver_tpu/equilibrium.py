@@ -102,14 +102,22 @@ def make_equilibrium(case: CaseConfig) -> Equilibrium:
         B_phi = _const(0.0)
         B_i = _const(rg.B_0)
 
-        def vA_i(x):
-            return rg.vA_i0 * jnp.sqrt(rg.rho_i0 / rho_i(x))
+        if case.density_profile.kind == ProfileKind.UNIFORM:
+            # Uniform density: speeds are the exact regime constants. (The
+            # balance formula below reproduces them only when rho_e itself is
+            # balance-derived; cases with rho_e_override - e.g. the complex KH
+            # file's independent rho_i=9, rho_e=5 - would otherwise skew c_i.)
+            vA_i = _const(rg.vA_i0)
+            c_i = _const(rg.c_i0)
+        else:
+            def vA_i(x):
+                return rg.vA_i0 * jnp.sqrt(rg.rho_i0 / rho_i(x))
 
-        def c_i(x):
-            return jnp.sqrt(
-                rho_e * (rg.c_e ** 2 + 0.5 * g * rg.vA_e ** 2) / rho_i(x)
-                - 0.5 * g * vA_i(x) ** 2
-            )
+            def c_i(x):
+                return jnp.sqrt(
+                    rho_e * (rg.c_e ** 2 + 0.5 * g * rg.vA_e ** 2) / rho_i(x)
+                    - 0.5 * g * vA_i(x) ** 2
+                )
 
         def P_i(x):
             return c_i(x) ** 2 * rho_i(x) / g

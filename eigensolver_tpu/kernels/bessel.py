@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: batched modified-Bessel K logarithmic derivative.
+
+The BASELINE names complex Bessel I_m/K_m evaluation as the framework's
+custom-kernel target: the cylinder exterior contributes one K_m'(z)/K_m(z)
+per (omega, k) candidate. This kernel fuses the ascending series and the CF2
+continued fraction (same algorithm as `eigensolver_tpu.special.kve_ratio`)
+into a single VMEM-resident pass on the VPU - no intermediate series terms
+ever reach HBM.
+
+Real arguments only (the complex Kelvin-Helmholtz path keeps the pure-JAX
+version; XLA fuses it adequately, and complex VMEM tiles are not supported).
+Falls back to the pure-JAX implementation off-TPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import special
+
+_LANE = 128
+_SUBLANE = 8
+_BLOCK = _LANE * _SUBLANE
+
+
+def _kve_ratio_block(z):
+    """Same math as special.kve_ratio, written block-wise for the VPU."""
+    small = jnp.abs(z) < 2.0
+    zs = jnp.where(small, z, 1.0)
+    zl = jnp.where(small, 4.0, z)
+
+    # ascending series (m=0 and m=1 interleaved on the same block)
+    z2 = 0.25 * zs * zs
+    half_log = jnp.log(0.5 * zs)
+    one = jnp.ones_like(zs)
+    term = one
+    I0 = one
+    K0sum = jnp.zeros_like(zs)
+    Hk = 0.0
+    for kk in range(1, special._N_SERIES + 1):
+        term = term * z2 / (kk * kk)
+        Hk = Hk + 1.0 / kk
+        I0 = I0 + term
+        K0sum = K0sum + term * Hk
+    K0 = -(half_log + special._EULER_GAMMA) * I0 + K0sum
+
+    s = one
+    term = one
+    for kk in range(1, special._N_SERIES + 1):
+        term = term * z2 / (kk * (kk + 1))
+        s = s + term
+    I1 = 0.5 * zs * s
+    ssum = jnp.zeros_like(zs)
+    term = one
+    Hk = 0.0
+    Hk1 = 1.0
+    ssum = ssum + term * (Hk + Hk1)
+    for kk in range(1, special._N_SERIES + 1):
+        term = term * z2 / (kk * (kk + 1))
+        Hk = Hk + 1.0 / kk
+        Hk1 = Hk1 + 1.0 / (kk + 1)
+        ssum = ssum + term * (Hk + Hk1)
+    K1 = 1.0 / zs + (half_log + special._EULER_GAMMA) * I1 - 0.25 * zs * ssum
+
+    # CF2 for |z| >= 2
+    a1 = 0.25
+    b = 2.0 * (1.0 + zl)
+    d = 1.0 / b
+    delh = d
+    h = d
+    a = -a1
+    for i in range(2, special._N_CF2 + 2):
+        a = a - 2.0 * (i - 1)
+        b = b + 2.0
+        d = 1.0 / (b + a * d)
+        delh = (b * d - 1.0) * delh
+        h = h + delh
+    h = a1 * h
+
+    r10 = jnp.where(small, K1 / K0, (zl + 0.5 - h) / zl)
+    ratio0 = -r10                      # K0'/K0
+    ratio1 = -1.0 / r10 - 1.0 / z      # K1'/K1
+    return ratio0, ratio1
+
+
+def _kernel(z_ref, r0_ref, r1_ref):
+    r0, r1 = _kve_ratio_block(z_ref[:])
+    r0_ref[:] = r0
+    r1_ref[:] = r1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def kve_ratio_pallas(z: jnp.ndarray, interpret: bool = False):
+    """(K0'/K0, K1'/K1) for a flat batch of real z > 0 via one Pallas kernel.
+    Pads to the (8, 128) f32 tile internally."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = z.shape[0]
+    pad = (-n) % _BLOCK
+    zp = jnp.pad(z.astype(jnp.float32), (0, pad), constant_values=1.0)
+    rows = zp.shape[0] // _LANE
+    zp = zp.reshape(rows, _LANE)
+
+    r0, r1 = pl.pallas_call(
+        _kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(zp)
+    return r0.reshape(-1)[:n], r1.reshape(-1)[:n]
+
+
+def kve_ratio_batch(m: int, z: jnp.ndarray, use_pallas: bool | None = None):
+    """Dispatch: Pallas on TPU for real float batches, pure JAX otherwise."""
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and not jnp.iscomplexobj(z))
+    if use_pallas:
+        r0, r1 = kve_ratio_pallas(z)
+        return r0 if m == 0 else r1
+    return special.kve_ratio(m, z)

@@ -197,20 +197,31 @@ class CylinderPhysics:
             xi1 = C1_1 * 1.0 / C3_1 + zero          # u1: P=1, w=0
             xi2 = F1 / 1.0                           # u2: P=0, w=F(1)
 
-            # ---- exterior: inward from r_far -> 1, decaying K_m direction ----
+            # ---- exterior: decaying K_m solution ----------------------------
             m_e = self.exterior_m(omega, k)
-            r_far = gr.exterior_wavelengths * 2.0 * jnp.pi / k
+            if gr.exterior_method == "bessel":
+                # exact: P_e(r) = K_m(sqrt(m_e) r); logarithmic derivative at
+                # r=1 from special.kve_ratio (complex-capable, Re sqrt >= 0)
+                from ..special import kve_ratio
+                sq = jnp.sqrt(m_e.astype(cdtype)) if case.complex_omega \
+                    else jnp.sqrt(jnp.maximum(m_e, 1e-300))
+                dP_e = sq * kve_ratio(m, sq)
+                P_e = jnp.ones_like(dP_e)
+            else:
+                # reference-parity: integrate inward from r_far with tiny ICs
+                # (selects the K_m-growing-inward direction)
+                r_far = gr.exterior_wavelengths * 2.0 * jnp.pi / k
 
-            def rhs_ext(r, y):
-                P, dP = y[0], y[1]
-                return jnp.stack([dP, -dP / r + (m_e + (m * m) / r ** 2) * P])
+                def rhs_ext(r, y):
+                    P, dP = y[0], y[1]
+                    return jnp.stack([dP, -dP / r + (m_e + (m * m) / r ** 2) * P])
 
-            y0 = jnp.stack([jnp.asarray(1e-8, cdtype), jnp.asarray(-1e-8, cdtype)])
-            ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext)
-            P_e, dP_e = ye[0], ye[1]
-            # normalise to P_e(1) = 1 to keep determinant scale sane
-            dP_e = dP_e / P_e
-            P_e = jnp.ones_like(P_e)
+                y0 = jnp.stack([jnp.asarray(1e-8, cdtype),
+                                jnp.asarray(-1e-8, cdtype)])
+                ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext)
+                P_e, dP_e = ye[0], ye[1]
+                dP_e = dP_e / P_e
+                P_e = jnp.ones_like(P_e)
             xi_e = dP_e / (rg.rho_e * (omega ** 2 - k ** 2 * rg.vA_e ** 2))
 
             # ---- 2x2 determinant --------------------------------------------

@@ -75,6 +75,26 @@ def dedup_roots(omegas: np.ndarray, ks: np.ndarray, rel_tol: float = 1e-4,
     return (om[keep], kk[keep], *[np.asarray(e)[order][keep] for e in extras])
 
 
+def dedup_complex_roots(omegas: np.ndarray, ks: np.ndarray,
+                        rel_tol: float = 1e-4):
+    """Dedup complex roots: same k, complex distance within rel_tol relative."""
+    if len(omegas) == 0:
+        return omegas, ks
+    order = np.lexsort((omegas.imag, omegas.real, ks))
+    om, kk = omegas[order], ks[order]
+    keep = np.ones(len(om), dtype=bool)
+    for i in range(len(om)):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, len(om)):
+            if kk[j] != kk[i] or om[j].real - om[i].real > rel_tol * max(
+                    abs(om[i]), 1e-30) * 4:
+                break
+            if abs(om[j] - om[i]) <= rel_tol * max(abs(om[i]), 1e-30):
+                keep[j] = False
+    return om[keep], kk[keep]
+
+
 # --- reference pickle formats ------------------------------------------------
 
 def save_pickle(path: str, rs: RootSet) -> None:

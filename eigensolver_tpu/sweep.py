@@ -19,7 +19,7 @@ import numpy as np
 from .config import CaseConfig, Geometry
 from .physics.cylinder import CylinderPhysics
 from .physics.slab import SlabPhysics
-from .roots import RootBranch, RootSet, dedup_roots
+from .roots import RootBranch, RootSet, dedup_complex_roots, dedup_roots
 from .search import SearchConfig, collect, search_rows
 
 MODE_NAMES = {0: "sausage", 1: "kink"}
@@ -91,6 +91,63 @@ class SweepStats:
     @property
     def candidates_per_sec(self) -> float:
         return self.n_candidates / self.wall_s if self.wall_s > 0 else 0.0
+
+
+def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
+                     n_im: int = 10, newton_iters: int = 30,
+                     accept_pct: float = 0.5, dtype=jnp.float64
+                     ) -> tuple[RootSet, SweepStats]:
+    """Complex-omega sweep (Kelvin-Helmholtz growth rates).
+
+    Replaces the reference's 2-D (Re, Im) grid scan with paired 1-D bisection
+    and 2-D fsolve (`flow_multiprocessor_complex_coronal.py:360-503`) by
+    batched Newton iteration in complex omega from a seed lattice per (k,
+    band): seeds = Re ladder x Im ladder spanning [-imag_band, +imag_band]
+    (the reference's seed band, `:1127`). The determinant is holomorphic, so
+    each Newton step costs one jvp. Converged roots are filtered by the
+    residual-acceptance metric and deduplicated in the complex plane.
+    """
+    assert case.complex_omega, "case must have complex_omega=True"
+    modes = tuple(modes) if modes is not None else case.modes
+    ks = np.asarray(case.k_grid())
+    speeds = np.asarray(case.sorted_speeds())
+
+    seeds_om = []
+    seeds_k = []
+    for k in ks:
+        for lo, hi in zip(speeds[:-1], speeds[1:]):
+            re = np.linspace(lo * k, hi * k, n_re)
+            im = np.linspace(-case.imag_band, case.imag_band, n_im)
+            RE, IM = np.meshgrid(re, im, indexing="ij")
+            seeds_om.append((RE + 1j * IM).reshape(-1))
+            seeds_k.append(np.full(RE.size, k))
+    omega0 = jnp.asarray(np.concatenate(seeds_om),
+                         jnp.complex128 if dtype == jnp.float64 else jnp.complex64)
+    kk = jnp.asarray(np.concatenate(seeds_k), dtype)
+
+    branches: Dict[str, RootBranch] = {}
+    stats = SweepStats()
+    t0 = time.time()
+    from .search import newton_complex
+    for mode in modes:
+        disp = make_dispersion_jitted(case, mode, dtype)
+        om = newton_complex(disp, omega0, kk, n_iter=newton_iters)
+        res = disp(om, kk)
+        v = om.real / kk
+        in_window = (v > speeds[0] - 0.05) & (v < speeds[-1] + 0.05) & \
+            (jnp.abs(om.imag) < 3 * case.imag_band)
+        ok = (res.mismatch_pct < accept_pct) & res.valid & in_window & \
+            jnp.isfinite(res.mismatch_pct) & (om.real > 0)
+        om_h = np.asarray(om)[np.asarray(ok)]
+        k_h = np.asarray(kk)[np.asarray(ok)]
+        om_d, k_d = dedup_complex_roots(om_h, k_h, case.tol.dedup_rel)
+        name = MODE_NAMES.get(mode, f"m{mode}")
+        branches[name] = RootBranch(omegas=om_d.real, ks=k_d,
+                                    omegas_imag=om_d.imag).sorted_by_k()
+        stats.n_candidates += omega0.size
+        stats.n_roots += len(om_d)
+    stats.wall_s = time.time() - t0
+    return RootSet(branches, case_name=case.name), stats
 
 
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,

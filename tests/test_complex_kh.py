@@ -1,0 +1,63 @@
+"""Complex-omega (Kelvin-Helmholtz) search vs the analytic uniform-limit
+dispersion relation with internal flow (the reference's complex case
+`flow_multiprocessor_complex_coronal.py` at its shipped width=1e5, where the
+Doppler tanh relation is exact and has genuinely complex roots)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from eigensolver_tpu import cases
+from eigensolver_tpu.sweep import run_case_complex
+
+
+def _analytic_newton(rg, W0, K, n=60):
+    R1 = rg.rho_e / rg.rho_i0
+
+    def rel(W):
+        Om_i = W - rg.U_i0
+        Om_e = W - rg.U_e
+
+        def msq(c2, a2, Om):
+            cT2 = c2 * a2 / (c2 + a2) if (c2 + a2) > 0 else 0.0
+            return (c2 - Om**2) * (a2 - Om**2) / ((c2 + a2) * (cT2 - Om**2))
+
+        m0 = np.sqrt(np.complex128(msq(rg.c_i0**2, rg.vA_i0**2, Om_i)))
+        me = np.sqrt(np.complex128(msq(rg.c_e**2, rg.vA_e**2, Om_e)))
+        return (R1 * (rg.vA_e**2 - Om_e**2) * m0
+                / (np.tanh(K * m0) * me * (rg.vA_i0**2 - Om_i**2)) + 1)
+
+    W = np.complex128(W0)
+    for _ in range(n):
+        h = 1e-8
+        f = rel(W)
+        df = (rel(W + h) - rel(W - h)) / (2 * h)
+        Wn = W - f / df
+        if abs(Wn - W) < 1e-14:
+            return Wn
+        W = Wn
+    return W
+
+
+def test_kh_growth_rate_matches_analytic():
+    case = cases.slab_flow_complex_coronal()
+    case = dataclasses.replace(case, n_k=1, k_min=0.5, k_max=0.5)
+    rs, _ = run_case_complex(case, n_re=8, n_im=6, newton_iters=30)
+    br = rs["kink"]
+    grow = br.omegas_imag > 1e-3
+    assert grow.any(), "no KH growth root found"
+    i = int(np.argmax(br.omegas_imag))
+    W_us = (br.omegas[i] + 1j * br.omegas_imag[i]) / br.ks[i]
+    W_ref = _analytic_newton(case.regime, W_us, br.ks[i])
+    assert abs(W_us - W_ref) < 2e-6, (W_us, W_ref)
+    # conjugate partner also present (real-coefficient determinant)
+    assert (br.omegas_imag < -1e-3).any()
+
+
+def test_kh_stable_below_threshold():
+    """With weak flow the same search finds no growing modes."""
+    case = cases.slab_flow_complex_coronal(U_i0=0.1)
+    case = dataclasses.replace(case, n_k=1, k_min=0.5, k_max=0.5)
+    rs, _ = run_case_complex(case, n_re=6, n_im=4, newton_iters=30)
+    br = rs["kink"]
+    assert not (np.abs(br.omegas_imag) > 1e-4).any()
