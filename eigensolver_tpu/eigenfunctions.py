@@ -145,12 +145,12 @@ def reconstruct_cylinder(case: CaseConfig, m: int, omega: float, k: float,
     eps = gr.axis_epsilon
     twisted = case.twist_profile is not None
 
-    Dfun, C1fun, C3fun, Ffun, gfun = ph.coefficients(omega, k, m,
-                                                     twisted_c1=twisted)
+    Dfun, C1fun, C3fun, Ffun, gfun, invFfun = ph.coefficients(
+        omega, k, m, twisted_c1=twisted)
 
     def rhs_int(r, y):
         P, w = y[0], y[1]
-        return jnp.stack([w / Ffun(r), gfun(r) * P])
+        return jnp.stack([w * invFfun(r), gfun(r) * P])
 
     F1 = float(Ffun(jnp.asarray(1.0)))
     _, t1 = rk4_trajectory(rhs_int, jnp.array([1.0, 0.0]), 1.0, eps, n_interior)

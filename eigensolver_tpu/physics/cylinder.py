@@ -114,16 +114,29 @@ class CylinderPhysics:
 
         dC3diff = jax.grad(lambda r: jnp.reshape(C3diff(r), ()))
 
-        def C3fun(r):
+        def Afun(r):
+            s2 = shift_freq(r) ** 2
+            return eq.rho_i(r) * (s2 - alfven_freq(r) ** 2) + r * dC3diff(r)
+
+        def Bfun(r):
             s2 = shift_freq(r) ** 2
             csum = eq.c_i(r) ** 2 + eq.vA_i(r) ** 2
-            return (Dfun(r) * (eq.rho_i(r) * (s2 - alfven_freq(r) ** 2)
-                               + r * dC3diff(r))
-                    + Qfun(r) ** 2
+            return (Qfun(r) ** 2
                     - 4.0 * csum * (s2 - cusp_freq(r) ** 2) * Tfun(r) ** 2 / r ** 2)
+
+        def C3fun(r):
+            return Dfun(r) * Afun(r) + Bfun(r)
 
         def Ffun(r):
             return r * Dfun(r) / C3fun(r)
+
+        def invFfun(r):
+            # 1/F = C3/(rD) = A/r + B/(rD): the A/r part is REGULAR through
+            # the D-zeros (and B == 0 identically for the density/axial-flow
+            # cases), so forming it this way keeps the flux-form rhs finite
+            # everywhere except the genuine Alfven/cusp continua of the
+            # twisted case (same regularisation as the slab rhs).
+            return Afun(r) / r + Bfun(r) / (r * Dfun(r))
 
         rc1c3 = lambda r: r * C1fun(r) / C3fun(r)
         drc1c3 = jax.grad(lambda r: jnp.reshape(rc1c3(r), ()))
@@ -133,7 +146,7 @@ class CylinderPhysics:
             return (-drc1c3(r)
                     - r * (C2fun(r) - C1fun(r) ** 2 / C3fun(r)) / Dfun(r))
 
-        return Dfun, C1fun, C3fun, Ffun, gfun
+        return Dfun, C1fun, C3fun, Ffun, gfun, invFfun
 
     def exterior_m(self, omega, k):
         rg = self.eq.regime
@@ -163,13 +176,13 @@ class CylinderPhysics:
             k = jnp.asarray(k, dtype)
             rg = eq.regime
 
-            Dfun, C1fun, C3fun, Ffun, gfun = self.coefficients(
+            Dfun, C1fun, C3fun, Ffun, gfun, invFfun = self.coefficients(
                 omega, k, m, twisted_c1=twisted)
 
             # ---- interior: two basis solutions, inward r: 1 -> eps ----------
             def rhs_int(r, y):
                 P, w = y[0], y[1]
-                return jnp.stack([w / Ffun(r), gfun(r) * P])
+                return jnp.stack([w * invFfun(r), gfun(r) * P])
 
             one = jnp.ones((), cdtype)
             zero = jnp.zeros((), cdtype)

@@ -147,11 +147,25 @@ class SlabPhysics:
 
             if not has_flow:
                 # --- self-adjoint flux form: state (vx, w = F vx') ----------
+                # The products are formed ANALYTICALLY, not as F and m0
+                # separately: 1/F and F*m0 = rho (k^2 vA^2 - Om^2) are regular
+                # at the sound point omega = k c_i(x*) where F and m0
+                # individually blow up - evaluating them separately poisons
+                # RK4 stages near the resonance and loses the slow-body modes
+                # the reference finds there (its LSODA steps over the pole).
+                # Only the cusp continuum omega = k cT_i(x) stays genuinely
+                # singular, exactly as in the physics.
                 def rhs(x, y):
                     vx, w = y[0], y[1]
-                    F = self.interior_F(x, omega, k)
-                    m0 = self.interior_m0(x, omega, k)
-                    return jnp.stack([w / F, F * m0 * vx])
+                    Om = omega - k * eq.U_i(x)
+                    rho = eq.rho_i(x)
+                    c2 = eq.c_i(x) ** 2
+                    a2 = eq.vA_i(x) ** 2
+                    cT2 = c2 * a2 / (c2 + a2)
+                    inv_F = (k**2 * c2 - Om**2) / (
+                        rho * (c2 + a2) * (k**2 * cT2 - Om**2))
+                    w_rate = rho * (k**2 * a2 - Om**2)
+                    return jnp.stack([w * inv_F, w_rate * vx])
 
                 F0 = self.interior_F(jnp.asarray(0.0, dtype), omega, k)
                 if parity == 0:   # sausage: vx odd => vx(0)=0, vx'(0)=1

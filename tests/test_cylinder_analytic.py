@@ -52,7 +52,7 @@ def test_uniform_coronal_cylinder_matches_bessel(m):
     W = np.linspace(v_lo, v_hi, 3001)
     om = jnp.asarray(W * k)[None, :]
     ks = jnp.asarray([k])
-    det, valid = ladder_scan(disp, om, ks)
+    det, valid, _ = ladder_scan(disp, om, ks)
     br = find_brackets(om, ks, det, valid, max_per_row=16)
     pr = bisect(disp, br, n_iter=60)
     mask = np.asarray(pr.mask) & (np.asarray(pr.mismatch) < 0.5)

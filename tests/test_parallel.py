@@ -1,0 +1,55 @@
+"""Candidate-grid sharding: sharded sweep == single-device sweep, exactly.
+
+Runs on the 8-virtual-device CPU mesh from conftest (the stand-in for a TPU
+pod slice, SURVEY.md section 4/5 testing plan).
+"""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from eigensolver_tpu import cases
+from eigensolver_tpu.parallel import make_mesh, run_case_sharded
+from eigensolver_tpu.search import SearchConfig
+from eigensolver_tpu.sweep import run_case
+
+
+@pytest.fixture(scope="module")
+def small_case():
+    case = cases.slab_density_photospheric(width=1e5)
+    return dataclasses.replace(
+        case, n_k=5, k_min=1.0, k_max=3.0,
+        speeds=(0.95, 1.05, 1.15, 1.29),
+        grid=dataclasses.replace(case.grid, n_interior=512))
+
+
+def test_sharded_equals_single(small_case):
+    assert len(jax.devices()) == 8, "conftest should fake 8 devices"
+    cfg = SearchConfig(n_omega=96, n_bisect=45)
+    rs1, _ = run_case(small_case, cfg)
+    rs8, _ = run_case_sharded(small_case, make_mesh(8), cfg)
+    for name in rs1.branches:
+        a = np.sort(rs1[name].omegas)
+        b = np.sort(rs8[name].omegas)
+        assert len(a) == len(b) > 0
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_odd_row_count_padding(small_case):
+    """Row counts not divisible by the mesh exercise the padding path."""
+    case = dataclasses.replace(small_case, n_k=3)  # 3*3=9 rows over 8 devices
+    cfg = SearchConfig(n_omega=96, n_bisect=45)
+    rs1, _ = run_case(case, cfg)
+    rs8, _ = run_case_sharded(case, make_mesh(8), cfg)
+    for name in rs1.branches:
+        np.testing.assert_array_equal(np.sort(rs1[name].omegas),
+                                      np.sort(rs8[name].omegas))
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (1024,)

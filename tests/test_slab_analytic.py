@@ -43,7 +43,7 @@ def _polished_roots(case, parity, v_lo, v_hi, k, n_omega=2001):
     W = np.linspace(v_lo, v_hi, n_omega)
     om = jnp.asarray(W * k)[None, :]
     ks = jnp.asarray([k])
-    det, valid = ladder_scan(disp, om, ks)
+    det, valid, _ = ladder_scan(disp, om, ks)
     br = find_brackets(om, ks, det, valid, max_per_row=16)
     pr = bisect(disp, br, n_iter=60)
     mask = np.asarray(pr.mask) & (np.asarray(pr.mismatch) < 0.5)

@@ -72,7 +72,7 @@ def test_bessel_exterior_equals_numeric_exterior():
         disp = jax.jit(jax.vmap(make_dispersion(c, 1)))
         om = jnp.asarray(W * k)[None, :]
         ks = jnp.asarray([k])
-        det, valid = ladder_scan(disp, om, ks)
+        det, valid, _ = ladder_scan(disp, om, ks)
         d = np.asarray(det[0])
         v = np.asarray(valid[0])
         s = np.sign(d)

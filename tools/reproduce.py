@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Reproduction harness: sweep a reference case on its own k grid and report
+per-branch match rates against the shipped pickle.
+
+Usage: python tools/reproduce.py [target ...] [--device cpu] [--json out.json]
+Targets default to all eight BASELINE.md rows.
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+REF = "/root/reference"
+
+TARGETS = {
+    # name: (case factory kwargs, pickle path, speeds windows, extra cfg)
+    # windows start above the cusp continuum (cT spans [cT_bound=0.845,
+    # cT_i0=0.885] for W=0.9); 0.9995/1.0005 brackets the c_i0 band edge
+    "slab_ph_09": dict(
+        case=("slab_density_photospheric", dict(width=0.9)),
+        pickle=f"{REF}/Slab/Non uniform density/Photospheric/Example data/width09.pickle",
+        speeds=(0.8855, 0.905, 0.925, 0.945, 0.965, 0.985, 0.9995, 1.0005,
+                1.04, 1.08, 1.12, 1.17, 1.23, 1.2999),
+    ),
+    "slab_ph_1e5": dict(
+        case=("slab_density_photospheric", dict(width=1e5)),
+        pickle=f"{REF}/Slab/Non uniform density/Photospheric/Example data/width1e5.pickle",
+        speeds=(0.8005, 0.83, 0.86, 0.8845, 0.8851, 0.905, 0.93, 0.955, 0.98,
+                0.9995, 1.0005, 1.05, 1.1, 1.16, 1.22, 1.2999),
+    ),
+    "slab_co_09": dict(
+        case=("slab_density_coronal", dict(width=0.9)),
+        pickle=f"{REF}/Slab/Non uniform density/Coronal/Example data/width09_coronal.pickle",
+        speeds=(1.05, 1.1, 1.15, 1.2, 1.35, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75,
+                2.999),
+    ),
+    "slab_flow_1": dict(
+        case=("slab_flow_gaussian_coronal", dict(width=1.0, U_i0=0.9)),
+        pickle=f"{REF}/Slab/Non uniform flow/Example data/flow_width1_coronal.pickle",
+        speeds=(0.02, 0.07, 0.12, 0.16, 0.199, 0.21, 0.3, 0.5, 0.75, 1.0,
+                1.25, 1.5, 1.75, 2.0, 2.25, 2.499),
+    ),
+    "cyl_co_09": dict(
+        case=("cylinder_density_coronal", dict(width=0.9)),
+        pickle=f"{REF}/Cylinder/Non-uniform density/Coronal/Example data/Cylindrical_coronal_width09.pickle",
+        speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.5, -2.0, -1.5, -1.0, -0.95,
+                -0.9, 0.9, 0.95, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5,
+                4.999),
+    ),
+    "cyl_ph_09": dict(
+        case=("cylinder_density_photospheric", dict(width=0.9)),
+        pickle=f"{REF}/Cylinder/Non-uniform density/Photospheric/Example data/Cylindrical_photospheric_width_09.pickle",
+        speeds=(-1.499, -1.35, -1.25, -1.1, -1.0, -0.95, -0.9, -0.85, -0.75,
+                -0.6, -0.51, 0.51, 0.6, 0.75, 0.85, 0.9, 0.95, 1.0, 1.1,
+                1.25, 1.35, 1.499),
+    ),
+    "cyl_flow_1": dict(
+        case=("cylinder_flow_coronal", dict(U=1.0, width=0.9)),
+        pickle=f"{REF}/Cylinder/Non-uniform flow/Coronal/Example data/Cylindrical_coronal_flow_1.pickle",
+        speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.5, -2.0, -1.5, -1.0, -0.9,
+                -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.9, 1.0, 1.25, 1.5,
+                2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 4.999),
+    ),
+    "twist_v01_p1": dict(
+        case=("cylinder_twisted_photospheric",
+              dict(v_twist=0.1, power=1.0, mode=1)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist01_power1_fund_kink.pickle",
+        speeds=(0.85, 0.95, 1.05, 1.15, 1.25, 1.32, 1.40, 1.4899),
+    ),
+}
+
+
+def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3):
+    matched, total, errs = 0, 0, []
+    for om_r, k_r in zip(ref_br.omegas, ref_br.ks):
+        v = om_r / k_r
+        if not (v_lo < v < v_hi):
+            continue
+        total += 1
+        ours = our_br.omegas[np.isclose(our_br.ks, k_r, atol=1e-9)]
+        if len(ours):
+            rel = float(np.min(np.abs(ours - om_r)) / abs(om_r))
+            errs.append(rel)
+            if rel < tol:
+                matched += 1
+        else:
+            errs.append(np.inf)
+    errs = np.asarray(errs) if errs else np.asarray([np.nan])
+    fin = errs[np.isfinite(errs)]
+    return {
+        "matched": matched, "total": total,
+        "rate": round(matched / total, 4) if total else None,
+        "median_rel_err": float(np.median(fin)) if len(fin) else None,
+        "p90_rel_err": float(np.percentile(fin, 90)) if len(fin) else None,
+    }
+
+
+def run_target(name, spec, scan_dtype="float32", n_omega=384):
+    import jax.numpy as jnp
+    from eigensolver_tpu import cases as case_mod
+    from eigensolver_tpu.roots import load_pickle
+    from eigensolver_tpu.search import SearchConfig
+    from eigensolver_tpu.sweep import run_case
+
+    fac, kw = spec["case"]
+    case = getattr(case_mod, fac)(**kw)
+    ref = load_pickle(spec["pickle"])
+    k_ref = np.unique(np.concatenate(
+        [b.ks for b in ref.branches.values() if len(b)]))
+    case = dataclasses.replace(case, k_values=tuple(k_ref),
+                               speeds=spec["speeds"])
+    cfg = SearchConfig(n_omega=n_omega, n_bisect=50, scan_dtype=scan_dtype,
+                       polish_dtype=scan_dtype, max_brackets_per_row=8,
+                       fuzz_accept_pct=3.0)
+    t0 = time.time()
+    rs, st = run_case(case, cfg)
+    wall = time.time() - t0
+    speeds = sorted(spec["speeds"])
+    v_lo, v_hi = speeds[0], speeds[-1]
+    out = {"target": name, "wall_s": round(wall, 1),
+           "candidates": st.n_candidates, "found": rs.counts()}
+    for bname, br in ref.branches.items():
+        ours = rs.branches.get(bname)
+        if ours is None or len(br) == 0:
+            continue
+        out[bname] = match_report(br, ours, v_lo, v_hi)
+        out[bname]["ref_total"] = len(br)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("targets", nargs="*", default=list(TARGETS))
+    ap.add_argument("--device", default=None)
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--n-omega", type=int, default=384)
+    args = ap.parse_args()
+
+    import jax
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    if args.dtype is None:
+        args.dtype = "float64" if jax.default_backend() == "cpu" else "float32"
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    reports = []
+    for t in (args.targets or list(TARGETS)):
+        print(f"# starting {t} on {jax.default_backend()} ({args.dtype})",
+              file=sys.stderr, flush=True)
+        try:
+            rep = run_target(t, TARGETS[t], scan_dtype=args.dtype,
+                             n_omega=args.n_omega)
+        except Exception as e:  # keep going; report the failure
+            rep = {"target": t, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(rep))
+        sys.stdout.flush()
+        reports.append(rep)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(reports, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
