@@ -26,7 +26,7 @@ from .config import CaseConfig
 from .roots import RootBranch, RootSet, dedup_roots
 from .search import SearchConfig, collect, search_rows
 from .sweep import (MODE_NAMES, SweepStats, build_ladders, make_dispersion,
-                    make_dispersion_jitted)
+                    make_dispersion_jitted, make_dispersion_moded)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:
@@ -62,36 +62,46 @@ def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
     omegas, ks = build_ladders(case, search.n_omega)
     omegas = np.asarray(omegas)
     ks = np.asarray(ks)
-    omegas_p, true_rows = _pad_rows(omegas, n_dev)
-    ks_p, _ = _pad_rows(ks, n_dev)
+    rows = omegas.shape[0]
+
+    # fuse mode families into one batch (traced mode column, as in run_case)
+    omegas_f = np.concatenate([omegas] * len(modes))
+    ks_f = np.concatenate([ks] * len(modes))
+    modes_f = np.concatenate(
+        [np.full((rows,), float(mode)) for mode in modes])
+
+    # pad the fused rows so they split evenly over the mesh; padding ladders
+    # are NaN (produce no brackets)
+    true_rows = omegas_f.shape[0]
+    pad = (-true_rows) % n_dev
+    if pad:
+        omegas_f = np.concatenate(
+            [omegas_f, np.full((pad, omegas_f.shape[1]), np.nan)])
+        ks_f = np.concatenate([ks_f, np.ones(pad)])
+        modes_f = np.concatenate([modes_f, np.zeros(pad)])
 
     row_sharding = NamedSharding(mesh, P(axis, None))
     k_sharding = NamedSharding(mesh, P(axis))
-    om_dev = jax.device_put(jnp.asarray(omegas_p, scan_dt), row_sharding)
-    ks_dev = jax.device_put(jnp.asarray(ks_p, scan_dt), k_sharding)
+    om_dev = jax.device_put(jnp.asarray(omegas_f, scan_dt), row_sharding)
+    ks_dev = jax.device_put(jnp.asarray(ks_f, scan_dt), k_sharding)
+    md_dev = jax.device_put(jnp.asarray(modes_f, scan_dt), k_sharding)
 
-    branches: Dict[str, RootBranch] = {}
+    disp_scan = make_dispersion_moded(case, scan_dt)
+    disp_polish = (disp_scan if polish_dt == scan_dt
+                   else make_dispersion_moded(case, polish_dt))
+
     stats = SweepStats()
     t0 = time.time()
+    pr = search_rows(disp_scan, disp_polish, om_dev, ks_dev, search,
+                     row_bucket=n_dev, modes=md_dev)
+    om, kk, mm, md = collect(pr)
+    branches: Dict[str, RootBranch] = {}
     for mode in modes:
-        disp_scan = make_dispersion_jitted(case, mode, scan_dt)
-        if polish_dt == scan_dt:
-            disp_polish = disp_scan
-        else:
-            disp_polish = make_dispersion_jitted(case, mode, polish_dt)
-
-        pr = search_rows(disp_scan, disp_polish, om_dev, ks_dev, search)
-        # drop padding rows before collection
-        per_row = pr.omega.shape[0] // omegas_p.shape[0]
-        keep = true_rows * per_row
-        om_h = np.asarray(pr.omega)[:keep]
-        k_h = np.asarray(pr.k)[:keep]
-        mm_h = np.asarray(pr.mismatch)[:keep]
-        mask = np.asarray(pr.mask)[:keep]
-        om, kk = dedup_roots(om_h[mask], k_h[mask], rel_tol=case.tol.dedup_rel)
+        sel = np.abs(md - float(mode)) < 0.5
+        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
         name = MODE_NAMES.get(mode, f"m{mode}")
-        branches[name] = RootBranch(omegas=om, ks=kk).sorted_by_k()
-        stats.n_candidates += omegas.size
-        stats.n_roots += len(om)
+        branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
+        stats.n_roots += len(om_m)
+    stats.n_candidates = true_rows * omegas.shape[1]
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats

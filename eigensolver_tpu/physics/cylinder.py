@@ -156,9 +156,10 @@ class CylinderPhysics:
 
     # -- dispersion function ---------------------------------------------------
 
-    def make_dispersion(self, m: int, dtype=jnp.float64) -> Callable:
-        """disp(omega, k) -> CylinderInterface for azimuthal order m
-        (0 = sausage, 1 = kink)."""
+    def make_dispersion(self, m: int | None = None, dtype=jnp.float64) -> Callable:
+        """disp(omega, k[, m]) -> CylinderInterface for azimuthal order m
+        (0 = sausage, 1 = kink). With m=None the azimuthal order is a TRACED
+        third argument - one compiled program serves both mode families."""
         case, eq = self.case, self.eq
         gr = case.grid
         n_int = gr.n_interior
@@ -171,13 +172,14 @@ class CylinderPhysics:
         # result real in exact arithmetic, so we stay real unless omega is complex.
         cdtype = jnp.result_type(dtype, jnp.complex64) if case.complex_omega else dtype
 
-        def disp(omega, k):
+        def disp(omega, k, m_arg):
             omega = jnp.asarray(omega, cdtype)
             k = jnp.asarray(k, dtype)
+            mm = jnp.asarray(m_arg, dtype)   # azimuthal order, traced
             rg = eq.regime
 
             Dfun, C1fun, C3fun, Ffun, gfun, invFfun = self.coefficients(
-                omega, k, m, twisted_c1=twisted)
+                omega, k, mm, twisted_c1=twisted)
 
             # ---- interior: two basis solutions, inward r: 1 -> eps ----------
             def rhs_int(r, y):
@@ -197,10 +199,9 @@ class CylinderPhysics:
 
             # axis condition (reference BCs at r = 0.001):
             # m=0: P'(eps)=0 -> w(eps)=0 ; m>=1: P(eps)=0
-            if m == 0:
-                a1, a2 = u1[1], u2[1]
-            else:
-                a1, a2 = u1[0], u2[0]
+            is_sausage = mm < 0.5
+            a1 = jnp.where(is_sausage, u1[1], u1[0])
+            a2 = jnp.where(is_sausage, u2[1], u2[0])
 
             # interface values at r=1 of each basis solution
             C1_1 = C1fun(r1)
@@ -215,10 +216,11 @@ class CylinderPhysics:
             if gr.exterior_method == "bessel":
                 # exact: P_e(r) = K_m(sqrt(m_e) r); logarithmic derivative at
                 # r=1 from special.kve_ratio (complex-capable, Re sqrt >= 0)
-                from ..special import kve_ratio
+                from ..special import kve_ratio_both
                 sq = jnp.sqrt(m_e.astype(cdtype)) if case.complex_omega \
                     else jnp.sqrt(jnp.maximum(m_e, 1e-300))
-                dP_e = sq * kve_ratio(m, sq)
+                r0, r1_ = kve_ratio_both(sq)
+                dP_e = sq * jnp.where(is_sausage, r0, r1_)
                 P_e = jnp.ones_like(dP_e)
             else:
                 # reference-parity: integrate inward from r_far with tiny ICs
@@ -227,7 +229,7 @@ class CylinderPhysics:
 
                 def rhs_ext(r, y):
                     P, dP = y[0], y[1]
-                    return jnp.stack([dP, -dP / r + (m_e + (m * m) / r ** 2) * P])
+                    return jnp.stack([dP, -dP / r + (m_e + (mm * mm) / r ** 2) * P])
 
                 y0 = jnp.stack([jnp.asarray(1e-8, cdtype),
                                 jnp.asarray(-1e-8, cdtype)])
@@ -259,4 +261,7 @@ class CylinderPhysics:
                 det = jnp.real(det)
             return CylinderInterface(det=det, mismatch_pct=mismatch, valid=valid)
 
-        return disp
+        if m is None:
+            return disp
+        m_const = float(m)
+        return lambda omega, k: disp(omega, k, m_const)

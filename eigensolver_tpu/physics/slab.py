@@ -111,13 +111,16 @@ class SlabPhysics:
 
     # -- dispersion function -------------------------------------------------
 
-    def make_dispersion(self, parity: int, dtype=jnp.float64,
+    def make_dispersion(self, parity: int | None = None, dtype=jnp.float64,
                         include_shear_pressure: bool | None = None) -> Callable:
-        """Return disp(omega, k) -> SlabInterface.
+        """Return disp(omega, k[, parity]) -> SlabInterface.
 
         parity: 0 = sausage (vx odd), 1 = kink (vx even) - reference BCs at
         `multiprocessor_Inhomogeneous_method.py:380-385` (sausage) / `:618-623`
-        (kink), re-expressed as exact centre conditions.
+        (kink), re-expressed as exact centre conditions. When parity is None
+        the returned function takes it as a TRACED third argument, so one
+        compiled program serves both mode families (halves compile count and
+        lets a sweep fuse sausage+kink into a single device batch).
 
         include_shear_pressure: add the -k U'/Omega correction to interior PT
         (`flow_multiprocessor_complex_coronal.py:401-403`). Defaults to True
@@ -136,9 +139,10 @@ class SlabPhysics:
 
         cdtype = jnp.result_type(dtype, jnp.complex64) if case.complex_omega else dtype
 
-        def disp(omega, k):
+        def disp(omega, k, parity_arg):
             omega = jnp.asarray(omega, cdtype)
             k = jnp.asarray(k, dtype)
+            par = jnp.asarray(parity_arg, dtype)   # 0 = sausage, 1 = kink
 
             m_e = self.exterior_m(omega, k)
             p_e = self.exterior_PT_coeff(omega, k)
@@ -168,10 +172,8 @@ class SlabPhysics:
                     return jnp.stack([w * inv_F, w_rate * vx])
 
                 F0 = self.interior_F(jnp.asarray(0.0, dtype), omega, k)
-                if parity == 0:   # sausage: vx odd => vx(0)=0, vx'(0)=1
-                    y0 = jnp.stack([jnp.zeros_like(F0), F0])
-                else:             # kink: vx even => vx(0)=1, vx'(0)=0
-                    y0 = jnp.stack([jnp.ones_like(F0), jnp.zeros_like(F0)])
+                # sausage (par=0): vx odd => y0 = (0, F0); kink: (1, 0)
+                y0 = jnp.stack([par * jnp.ones_like(F0), (1.0 - par) * F0])
 
                 yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
                                jnp.asarray(1.0, dtype), n_steps)
@@ -198,9 +200,8 @@ class SlabPhysics:
                     coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
                     return jnp.stack([dvx, -Dx * dvx - coeff * vx])
 
-                one = jnp.ones((), cdtype)
-                zero = jnp.zeros((), cdtype)
-                y0 = jnp.stack([zero, one]) if parity == 0 else jnp.stack([one, zero])
+                parc = par.astype(cdtype)
+                y0 = jnp.stack([parc, 1.0 - parc])
                 yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
                                jnp.asarray(1.0, dtype), n_steps)
                 vx_b, dvx_b = yb[0], yb[1]
@@ -233,4 +234,7 @@ class SlabPhysics:
                 valid = m_e > 0
             return SlabInterface(det=det, mismatch_pct=mismatch, valid=valid)
 
-        return disp
+        if parity is None:
+            return disp
+        p_const = float(parity)
+        return lambda omega, k: disp(omega, k, p_const)

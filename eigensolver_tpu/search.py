@@ -33,6 +33,7 @@ class BracketBatch(NamedTuple):
     hi: jnp.ndarray        # (B,) upper omega
     k: jnp.ndarray         # (B,) wavenumber of the cell
     mask: jnp.ndarray      # (B,) bool - real bracket vs padding
+    mode: Optional[jnp.ndarray] = None  # (B,) mode id when fused sweeps
 
 
 class PolishResult(NamedTuple):
@@ -40,19 +41,27 @@ class PolishResult(NamedTuple):
     k: jnp.ndarray
     mismatch: jnp.ndarray  # (B,) reference-style % residual at the root
     mask: jnp.ndarray      # (B,) bracket validity (pre-acceptance)
+    mode: Optional[jnp.ndarray] = None
 
 
-def ladder_scan(disp_batch: Callable, omegas: jnp.ndarray, ks: jnp.ndarray):
+def _call_disp(disp_batch, omega, k, mode):
+    return disp_batch(omega, k) if mode is None else disp_batch(omega, k, mode)
+
+
+def ladder_scan(disp_batch: Callable, omegas: jnp.ndarray, ks: jnp.ndarray,
+                modes: Optional[jnp.ndarray] = None):
     """Evaluate the dispersion function on a (rows, n_omega) ladder grid.
 
-    disp_batch: vmapped disp over flat (omega, k) -> object with .det/.valid.
-    omegas: (rows, n_omega); ks: (rows,).
+    disp_batch: vmapped disp over flat (omega, k[, mode]) -> .det/.valid/...
+    omegas: (rows, n_omega); ks: (rows,); modes: optional (rows,) traced mode
+    column (sausage/kink fused into one batch - one compile, one dispatch).
     Returns (det, valid, mismatch) as (rows, n_omega) arrays.
     """
     rows, n_omega = omegas.shape
     flat_om = omegas.reshape(-1)
     flat_k = jnp.repeat(ks, n_omega)
-    res = disp_batch(flat_om, flat_k)
+    flat_m = None if modes is None else jnp.repeat(modes, n_omega)
+    res = _call_disp(disp_batch, flat_om, flat_k, flat_m)
     det = res.det.reshape(rows, n_omega)
     valid = res.valid.reshape(rows, n_omega)
     mism = res.mismatch_pct.reshape(rows, n_omega)
@@ -60,7 +69,8 @@ def ladder_scan(disp_batch: Callable, omegas: jnp.ndarray, ks: jnp.ndarray):
 
 
 def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
-                  valid: jnp.ndarray, max_per_row: int) -> BracketBatch:
+                  valid: jnp.ndarray, max_per_row: int,
+                  modes: Optional[jnp.ndarray] = None) -> BracketBatch:
     """Select up to `max_per_row` sign-change brackets per ladder row."""
     finite = jnp.isfinite(det)
     ok = valid & finite
@@ -75,8 +85,10 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
     hi = omegas[rows, order + 1]
     mask = is_br[rows, order]
     kcol = jnp.broadcast_to(ks[:, None], lo.shape)
+    mcol = (None if modes is None
+            else jnp.broadcast_to(modes[:, None], lo.shape).reshape(-1))
     return BracketBatch(lo=lo.reshape(-1), hi=hi.reshape(-1),
-                        k=kcol.reshape(-1), mask=mask.reshape(-1))
+                        k=kcol.reshape(-1), mask=mask.reshape(-1), mode=mcol)
 
 
 def bisect(disp_batch: Callable, br: BracketBatch, n_iter: int,
@@ -87,14 +99,15 @@ def bisect(disp_batch: Callable, br: BracketBatch, n_iter: int,
     lo = br.lo.astype(dtype)
     hi = br.hi.astype(dtype)
     k = br.k.astype(dtype)
+    md = br.mode
 
-    f_lo = disp_batch(lo, k).det
+    f_lo = _call_disp(disp_batch, lo, k, md).det
     lo_neg = jnp.signbit(f_lo)
 
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        f_mid = disp_batch(mid, k).det
+        f_mid = _call_disp(disp_batch, mid, k, md).det
         mid_neg = jnp.signbit(f_mid)
         go_right = mid_neg == lo_neg        # root in [mid, hi]
         lo = jnp.where(go_right, mid, lo)
@@ -103,8 +116,9 @@ def bisect(disp_batch: Callable, br: BracketBatch, n_iter: int,
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     root = 0.5 * (lo + hi)
-    res = disp_batch(root, k)
-    return PolishResult(omega=root, k=k, mismatch=res.mismatch_pct, mask=br.mask)
+    res = _call_disp(disp_batch, root, k, md)
+    return PolishResult(omega=root, k=k, mismatch=res.mismatch_pct,
+                        mask=br.mask, mode=md)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,14 +155,14 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
     polish_dt = jnp.dtype(cfg.polish_dtype)
 
     @jax.jit
-    def pipeline(omegas, ks):
-        det, valid, mism = ladder_scan(disp_batch_scan, omegas, ks)
-        br = find_brackets(omegas, ks, det, valid, cfg.max_brackets_per_row)
+    def pipeline(omegas, ks, modes):
+        det, valid, mism = ladder_scan(disp_batch_scan, omegas, ks, modes)
+        br = find_brackets(omegas, ks, det, valid, cfg.max_brackets_per_row,
+                           modes)
         pr = bisect(disp_batch_polish, br, cfg.n_bisect, dtype=polish_dt)
         accepted = (pr.mask & jnp.isfinite(pr.mismatch)
                     & (pr.mismatch < cfg.accept_pct))
-        pr = PolishResult(omega=pr.omega, k=pr.k, mismatch=pr.mismatch,
-                          mask=accepted)
+        pr = pr._replace(mask=accepted)
         if cfg.fuzz_accept_pct is None:
             return pr, None
         # reference-parity swath acceptance: keep local minima of the
@@ -160,11 +174,13 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         right = jnp.concatenate([big[:, 1:],
                                  jnp.full_like(big[:, :1], jnp.inf)], axis=1)
         keep = acc & (big <= left) & (big <= right)
+        n_omega = omegas.shape[1]
         fuzz = PolishResult(
             omega=omegas.reshape(-1),
-            k=jnp.repeat(ks, omegas.shape[1]),
+            k=jnp.repeat(ks, n_omega),
             mismatch=mism.reshape(-1),
-            mask=keep.reshape(-1))
+            mask=keep.reshape(-1),
+            mode=None if modes is None else jnp.repeat(modes, n_omega))
         return pr, fuzz
 
     _PIPELINE_CACHE[key] = pipeline
@@ -173,10 +189,12 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
 
 def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
                 omegas: jnp.ndarray, ks: jnp.ndarray,
-                cfg: SearchConfig, row_bucket: int = 128) -> PolishResult:
+                cfg: SearchConfig, row_bucket: int = 128,
+                modes: Optional[jnp.ndarray] = None) -> PolishResult:
     """Full scan->bracket->polish pipeline for one ladder batch.
 
-    omegas: (rows, n_omega) ladders; ks: (rows,).
+    omegas: (rows, n_omega) ladders; ks: (rows,); modes: optional (rows,)
+    traced mode column (fused sausage+kink sweep).
     Rows are padded to a multiple of `row_bucket` (invalid NaN ladders) so the
     fused pipeline compiles once per bucket size rather than per exact row
     count. Returns a PolishResult whose mask already includes acceptance
@@ -189,26 +207,43 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
         omegas = jnp.concatenate(
             [omegas, jnp.full((pad, n_omega), jnp.nan, omegas.dtype)])
         ks = jnp.concatenate([ks, jnp.ones((pad,), ks.dtype)])
+        if modes is not None:
+            modes = jnp.concatenate([modes, jnp.zeros((pad,), modes.dtype)])
     pipeline = _search_pipeline(disp_batch_scan, disp_batch_polish, cfg)
-    pr, fuzz = pipeline(omegas, ks)
+    pr, fuzz = pipeline(omegas, ks, modes)
     keep = rows * cfg.max_brackets_per_row
+
+    def cut(x, n):
+        return None if x is None else x[:n]
+
     pr = PolishResult(omega=pr.omega[:keep], k=pr.k[:keep],
-                      mismatch=pr.mismatch[:keep], mask=pr.mask[:keep])
+                      mismatch=pr.mismatch[:keep], mask=pr.mask[:keep],
+                      mode=cut(pr.mode, keep))
     if fuzz is None:
         return pr
     kf = rows * n_omega
+
+    def cat(a, b, n):
+        if a is None or b is None:
+            return None
+        return jnp.concatenate([a, b[:n]])
+
     return PolishResult(
         omega=jnp.concatenate([pr.omega, fuzz.omega[:kf]]),
         k=jnp.concatenate([pr.k, fuzz.k[:kf]]),
         mismatch=jnp.concatenate([pr.mismatch, fuzz.mismatch[:kf]]),
-        mask=jnp.concatenate([pr.mask, fuzz.mask[:kf]]))
+        mask=jnp.concatenate([pr.mask, fuzz.mask[:kf]]),
+        mode=cat(pr.mode, fuzz.mode, kf))
 
 
-def collect(pr: PolishResult) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Device->host gather of accepted roots."""
+def collect(pr: PolishResult):
+    """Device->host gather of accepted roots: (omega, k, mismatch[, mode])."""
     mask = np.asarray(pr.mask)
-    return (np.asarray(pr.omega)[mask], np.asarray(pr.k)[mask],
-            np.asarray(pr.mismatch)[mask])
+    out = (np.asarray(pr.omega)[mask], np.asarray(pr.k)[mask],
+           np.asarray(pr.mismatch)[mask])
+    if pr.mode is None:
+        return out
+    return out + (np.asarray(pr.mode)[mask],)
 
 
 def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,

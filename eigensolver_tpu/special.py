@@ -107,13 +107,13 @@ def _cf2_h(z):
     return a1 * h
 
 
-def kve_ratio(m: int, z):
-    """K_m'(z) / K_m(z), valid for real z > 0 and complex z with Re z > 0.
+def kve_ratio_both(z):
+    """(K_0'/K_0, K_1'/K_1) for real z > 0 or complex z with Re z > 0.
 
     Uses K_0' = -K_1 and K_1' = -K_0 - K_1/z. The K_1/K_0 ratio comes from
     the ascending series for |z| < 2 (cancellation bounded to ~2 digits) and
     from the CF2 continued fraction at order 0 for |z| >= 2 (full precision
-    for real and complex arguments).
+    for real and complex arguments). Both orders share the one r10 evaluation.
     """
     z = jnp.asarray(z)
     az = jnp.abs(z)
@@ -125,9 +125,13 @@ def kve_ratio(m: int, z):
     _, K1s = _series_ik(zs, 1)
     h = _cf2_h(zl)
     r10 = jnp.where(small, K1s / K0s, (zl + 0.5 - h) / zl)
-    if m == 0:
-        return -r10
-    return -1.0 / r10 - 1.0 / z
+    return -r10, -1.0 / r10 - 1.0 / z
+
+
+def kve_ratio(m: int, z):
+    """K_m'(z) / K_m(z) for m in {0, 1} (see kve_ratio_both)."""
+    r0, r1 = kve_ratio_both(z)
+    return r0 if m == 0 else r1
 
 
 def k0(z):

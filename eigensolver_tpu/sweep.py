@@ -53,6 +53,23 @@ def make_dispersion_jitted(case: CaseConfig, mode: int, dtype) -> Callable:
     return fn
 
 
+def make_dispersion_moded(case: CaseConfig, dtype) -> Callable:
+    """jit(vmap(disp(omega, k, mode))) with the mode family (slab parity /
+    cylinder azimuthal order) as a traced per-candidate column - one compiled
+    program covers sausage AND kink, and a sweep fuses both into one batch."""
+    key = (case, "moded", jnp.dtype(dtype).name)
+    fn = _DISP_CACHE.get(key)
+    if fn is None:
+        ph = make_physics(case)
+        if case.geometry == Geometry.SLAB:
+            disp = ph.make_dispersion(parity=None, dtype=dtype)
+        else:
+            disp = ph.make_dispersion(m=None, dtype=dtype)
+        fn = jax.jit(jax.vmap(disp))
+        _DISP_CACHE[key] = fn
+    return fn
+
+
 def build_ladders(case: CaseConfig, n_omega: Optional[int] = None,
                   edge_shrink: float = 1e-3):
     """(rows, n_omega) omega ladders + (rows,) ks from the (k x band) grid.
@@ -162,24 +179,32 @@ def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
     polish_dt = jnp.dtype(search.polish_dtype)
 
     omegas, ks = build_ladders(case, search.n_omega)
+    rows = omegas.shape[0]
 
-    branches: Dict[str, RootBranch] = {}
+    # fuse all mode families into one batch with a traced mode column:
+    # one compile, one device dispatch for the whole sweep
+    omegas_f = jnp.concatenate([omegas] * len(modes))
+    ks_f = jnp.concatenate([ks] * len(modes))
+    modes_f = jnp.concatenate(
+        [jnp.full((rows,), float(mode)) for mode in modes])
+
+    disp_scan = make_dispersion_moded(case, scan_dt)
+    disp_polish = (disp_scan if polish_dt == scan_dt
+                   else make_dispersion_moded(case, polish_dt))
+
     stats = SweepStats()
     t0 = time.time()
+    pr = search_rows(disp_scan, disp_polish,
+                     omegas_f.astype(scan_dt), ks_f.astype(scan_dt), search,
+                     modes=modes_f.astype(scan_dt))
+    om, kk, mm, md = collect(pr)
+    branches: Dict[str, RootBranch] = {}
     for mode in modes:
-        disp_scan = make_dispersion_jitted(case, mode, scan_dt)
-        if polish_dt == scan_dt:
-            disp_polish = disp_scan
-        else:
-            disp_polish = make_dispersion_jitted(case, mode, polish_dt)
-
-        pr = search_rows(disp_scan, disp_polish,
-                         omegas.astype(scan_dt), ks.astype(scan_dt), search)
-        om, kk, mm = collect(pr)
-        om, kk = dedup_roots(om, kk, rel_tol=case.tol.dedup_rel)
+        sel = np.abs(md - float(mode)) < 0.5
+        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
         name = MODE_NAMES.get(mode, f"m{mode}")
-        branches[name] = RootBranch(omegas=om, ks=kk).sorted_by_k()
-        stats.n_candidates += omegas.size
-        stats.n_roots += len(om)
+        branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
+        stats.n_roots += len(om_m)
+    stats.n_candidates = omegas_f.size
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats
