@@ -23,6 +23,11 @@ import numpy as np
 
 def measure_ours():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from eigensolver_tpu import cases

@@ -110,6 +110,63 @@ class SweepStats:
         return self.n_candidates / self.wall_s if self.wall_s > 0 else 0.0
 
 
+def run_case_checkpointed(case: CaseConfig, search: Optional[SearchConfig] = None,
+                          checkpoint_path: str = "sweep.eigr",
+                          k_block: int = 8, modes=None
+                          ) -> tuple[RootSet, SweepStats]:
+    """Crash-safe sweep: k-grid processed in fixed-size blocks, each block's
+    accepted roots appended (fsync'd) to the native result store before the
+    next block starts. Restarting with the same path resumes after the last
+    durable block. (The reference loses everything on a crash - its only
+    persistence is the end-of-run pickle, `multiprocessor_Inhomogeneous_
+    method.py:834-835`; SURVEY.md section 5 checkpoint/resume.)
+
+    Equal-size blocks keep ladder shapes constant, so the fused search
+    pipeline compiles once for the whole sweep.
+    """
+    import dataclasses as _dc
+
+    from .native.store import ResultStore, read_all, resume_k_done
+
+    search = search or SearchConfig(
+        n_omega=case.grid.n_omega_ladder, n_bisect=case.grid.n_bisect)
+    modes = tuple(modes) if modes is not None else case.modes
+    ks_all = np.asarray(case.k_grid())
+    done = {m: set(np.round(resume_k_done(checkpoint_path, m), 12))
+            for m in modes}
+
+    stats = SweepStats()
+    t0 = time.time()
+    with ResultStore(checkpoint_path) as store:
+        for start in range(0, len(ks_all), k_block):
+            blk = ks_all[start:start + k_block]
+            if len(blk) < k_block:   # pad to keep shapes constant
+                blk = np.concatenate([blk, np.full(k_block - len(blk), blk[-1])])
+            todo_modes = [m for m in modes
+                          if not all(round(k, 12) in done[m] for k in blk)]
+            if not todo_modes:
+                continue
+            sub = _dc.replace(case, k_values=tuple(blk))
+            rs_blk, st_blk = run_case(sub, search, modes=todo_modes)
+            stats.n_candidates += st_blk.n_candidates
+            for m in todo_modes:
+                br = rs_blk[MODE_NAMES.get(m, f"m{m}")]
+                new = ~np.isin(np.round(br.ks, 12), list(done[m]))
+                store.append(m, br.ks[new], br.omegas[new])
+                done[m].update(np.round(br.ks[new], 12))
+                stats.n_roots += int(new.sum())
+
+    modes_arr, ks_arr, om_arr, _ = read_all(checkpoint_path)
+    branches: Dict[str, RootBranch] = {}
+    for m in modes:
+        sel = modes_arr == m
+        om_m, kk_m = dedup_roots(om_arr[sel], ks_arr[sel],
+                                 rel_tol=case.tol.dedup_rel)
+        branches[MODE_NAMES.get(m, f"m{m}")] = RootBranch(om_m, kk_m).sorted_by_k()
+    stats.wall_s = time.time() - t0
+    return RootSet(branches, case_name=case.name), stats
+
+
 def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
                      n_im: int = 10, newton_iters: int = 30,
                      accept_pct: float = 0.5, dtype=jnp.float64

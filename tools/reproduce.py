@@ -39,11 +39,15 @@ TARGETS = {
         speeds=(1.05, 1.1, 1.15, 1.2, 1.35, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75,
                 2.999),
     ),
+    # pickle root clusters sit at v ~ U - cT_i = 0.063 and v ~ U + vA_i = 1.35,
+    # fixing the generating flow amplitude at the file's commented coronal
+    # value U_i0 = 0.35 vA_i (`flow_multiprocessor_coronal.py:68`), not the
+    # currently-active 0.9
     "slab_flow_1": dict(
-        case=("slab_flow_gaussian_coronal", dict(width=1.0, U_i0=0.9)),
+        case=("slab_flow_gaussian_coronal", dict(width=1.0, U_i0=0.35)),
         pickle=f"{REF}/Slab/Non uniform flow/Example data/flow_width1_coronal.pickle",
-        speeds=(0.02, 0.07, 0.12, 0.16, 0.199, 0.21, 0.3, 0.5, 0.75, 1.0,
-                1.25, 1.5, 1.75, 2.0, 2.25, 2.499),
+        speeds=(0.02, 0.06, 0.1, 0.15, 0.199, 0.21, 0.28, 0.4, 0.55, 0.7,
+                0.85, 1.0, 1.15, 1.35, 1.55, 1.8, 2.05, 2.3, 2.499),
     ),
     "cyl_co_09": dict(
         case=("cylinder_density_coronal", dict(width=0.9)),
@@ -143,6 +147,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:  # persistent compile cache: repeat sweeps skip the remote compile
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     if args.device:
         jax.config.update("jax_platforms", args.device)
     if args.dtype is None:
