@@ -213,9 +213,31 @@ class SlabPhysics:
                     add = -(k * dU(x1)) / Om_i
                     PT_i = (F1 / Om_i) * (dvx_b - add * vx_b)
 
-            # Exterior (x > 1): vx_e = exp(-sqm (x-1)); vx_e(1)=1, vx_e'(1)=-sqm.
+            # Exterior (x > 1)
             Om_e = omega - k * eq.regime.U_e
-            PT_e = p_e * (-sqm)
+            if case.grid.exterior_method == "numeric":
+                # reference-parity: integrate from x = 1 + W*2pi/k toward the
+                # boundary with tiny ICs (`multiprocessor_Inhomogeneous_method
+                # .py:364-371`, mirrored to our x > 1 side). Near the external
+                # cutoffs (m_e -> 0) this carries an O(e^{-2 sqrt(m_e) L})
+                # admixture of the non-decaying solution - the reference's
+                # finite-domain physics, reproduced for pickle parity.
+                from ..ode import rk4_final_renorm
+                L = case.grid.exterior_wavelengths * 2.0 * jnp.pi / k
+
+                def rhs_e(x, y):
+                    return jnp.stack([y[1], m_e * y[0]])
+
+                y0e = jnp.stack([jnp.asarray(1e-8, cdtype),
+                                 jnp.asarray(-1e-15, cdtype)])
+                ye, _ = rk4_final_renorm(rhs_e, y0e, (1.0 + L).astype(dtype),
+                                         jnp.asarray(1.0, dtype),
+                                         case.grid.n_exterior)
+                dvx_over_vx = ye[1] / ye[0]
+                PT_e = p_e * dvx_over_vx
+            else:
+                # exact decaying solution: vx_e = exp(-sqm (x-1))
+                PT_e = p_e * (-sqm)
             xi_e = 1.0 / Om_e
             xi_i = vx_b / Om_i
 

@@ -26,18 +26,21 @@ TARGETS = {
         pickle=f"{REF}/Slab/Non uniform density/Photospheric/Example data/width09.pickle",
         speeds=(0.8855, 0.905, 0.925, 0.945, 0.965, 0.985, 0.9995, 1.0005,
                 1.04, 1.08, 1.12, 1.17, 1.23, 1.2999),
+        grid=dict(exterior_method="numeric", exterior_wavelengths=7.0),
     ),
     "slab_ph_1e5": dict(
         case=("slab_density_photospheric", dict(width=1e5)),
         pickle=f"{REF}/Slab/Non uniform density/Photospheric/Example data/width1e5.pickle",
         speeds=(0.8005, 0.83, 0.86, 0.8845, 0.8851, 0.905, 0.93, 0.955, 0.98,
                 0.9995, 1.0005, 1.05, 1.1, 1.16, 1.22, 1.2999),
+        grid=dict(exterior_method="numeric", exterior_wavelengths=7.0),
     ),
     "slab_co_09": dict(
         case=("slab_density_coronal", dict(width=0.9)),
         pickle=f"{REF}/Slab/Non uniform density/Coronal/Example data/width09_coronal.pickle",
         speeds=(1.05, 1.1, 1.15, 1.2, 1.35, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75,
                 2.999),
+        grid=dict(exterior_method="numeric", exterior_wavelengths=7.0),
     ),
     # pickle root clusters sit at v ~ U - cT_i = 0.063 and v ~ U + vA_i = 1.35,
     # fixing the generating flow amplitude at the file's commented coronal
@@ -48,6 +51,7 @@ TARGETS = {
         pickle=f"{REF}/Slab/Non uniform flow/Example data/flow_width1_coronal.pickle",
         speeds=(0.02, 0.06, 0.1, 0.15, 0.199, 0.21, 0.28, 0.4, 0.55, 0.7,
                 0.85, 1.0, 1.15, 1.35, 1.55, 1.8, 2.05, 2.3, 2.499),
+        grid=dict(exterior_method="numeric", exterior_wavelengths=3.0),
     ),
     "cyl_co_09": dict(
         case=("cylinder_density_coronal", dict(width=0.9)),
@@ -63,8 +67,11 @@ TARGETS = {
                 -0.6, -0.51, 0.51, 0.6, 0.75, 0.85, 0.9, 0.95, 1.0, 1.1,
                 1.25, 1.35, 1.499),
     ),
+    # 'flow_1' names the Gaussian flow WIDTH (dr=1), amplitude U_i0=0.05 c_i0 -
+    # fixed by the analysis scripts (`analysis_cylinder_flow_coronal.py:117,121`
+    # with sibling pickles flow_1e5/flow_15 = widths 1e5/1.5)
     "cyl_flow_1": dict(
-        case=("cylinder_flow_coronal", dict(U=1.0, width=0.9)),
+        case=("cylinder_flow_coronal", dict(U=0.05, width=1.0)),
         pickle=f"{REF}/Cylinder/Non-uniform flow/Coronal/Example data/Cylindrical_coronal_flow_1.pickle",
         speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.5, -2.0, -1.5, -1.0, -0.9,
                 -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.9, 1.0, 1.25, 1.5,
@@ -118,6 +125,9 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384):
         [b.ks for b in ref.branches.values() if len(b)]))
     case = dataclasses.replace(case, k_values=tuple(k_ref),
                                speeds=spec["speeds"])
+    if spec.get("grid"):
+        case = dataclasses.replace(
+            case, grid=dataclasses.replace(case.grid, **spec["grid"]))
     cfg = SearchConfig(n_omega=n_omega, n_bisect=50, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype, max_brackets_per_row=8,
                        fuzz_accept_pct=3.0)
