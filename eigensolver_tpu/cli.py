@@ -43,9 +43,19 @@ def _build_case(args):
     return case
 
 
+def _apply_device(args):
+    import jax
+    if getattr(args, "device", None):
+        jax.config.update("jax_platforms", args.device)
+    if getattr(args, "x64", False):
+        jax.config.update("jax_enable_x64", True)
+
+
 def _add_case_args(p, with_case=True):
     if with_case:
         p.add_argument("--case", required=True)
+    p.add_argument("--device", default=None)
+    p.add_argument("--x64", action="store_true")
     p.add_argument("--width", type=float, default=None)
     p.add_argument("--u", dest="u", type=float, default=None)
     p.add_argument("--u-i0", dest="u_i0", type=float, default=None)
@@ -64,11 +74,7 @@ def cmd_cases(args):
 
 
 def cmd_sweep(args):
-    import jax
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
-    if args.x64:
-        jax.config.update("jax_enable_x64", True)
+    _apply_device(args)
     from .roots import save_pickle
     from .search import SearchConfig
     from .sweep import run_case, run_case_complex
@@ -96,6 +102,7 @@ def cmd_sweep(args):
 
 
 def cmd_analyze(args):
+    _apply_device(args)
     from .analysis import analyse
     from .roots import load_pickle
     from .viz import dispersion_diagram
@@ -131,6 +138,7 @@ def _reconstruct(case, args, rs):
 
 
 def cmd_eigenfunction(args):
+    _apply_device(args)
     from .roots import load_pickle
     from .viz import eigenfunction_figure
 
@@ -147,6 +155,7 @@ def cmd_eigenfunction(args):
 
 
 def cmd_movie(args):
+    _apply_device(args)
     from .roots import load_pickle
     from .synthesis import FieldGrid, boundary_surface, synthesize, to_cartesian
     from .viz import animate_cross_section
@@ -162,6 +171,7 @@ def cmd_movie(args):
 
 
 def cmd_vtk(args):
+    _apply_device(args)
     from .io.vtk import export_field_series
     from .roots import load_pickle
     from .synthesis import FieldGrid, synthesize, to_cartesian
@@ -190,8 +200,6 @@ def main(argv=None):
     p.add_argument("--n-omega", type=int, default=256)
     p.add_argument("--complex", action="store_true")
     p.add_argument("--sharded", action="store_true")
-    p.add_argument("--device", default=None)
-    p.add_argument("--x64", action="store_true")
     p.set_defaults(fn=cmd_sweep)
 
     for name, fn in [("analyze", cmd_analyze), ("eigenfunction", cmd_eigenfunction),
