@@ -87,6 +87,24 @@ def synthesize(ef: RadialEigenfunction, grid: FieldGrid,
     return out
 
 
+def add_background_flow(fields: Dict[str, np.ndarray], grid: FieldGrid,
+                        v_phi0=None, v_z0=None) -> Dict[str, np.ndarray]:
+    """Full-field variant: add the equilibrium rotation/axial flow to the
+    velocity perturbations (the reference's 'full-field incl. background
+    rotation' panels, `v01_p1_2D_kink_visualisation.py:2467-2559`).
+
+    v_phi0 / v_z0: callables of r (e.g. eq.v_phi / eq.U_i as numpy-compatible
+    functions) evaluated on grid.r and broadcast over (t, theta, z).
+    """
+    out = dict(fields)
+    for name, prof_fn in (("v_phi", v_phi0), ("v_z", v_z0)):
+        if prof_fn is None or name not in fields:
+            continue
+        prof = np.asarray(prof_fn(grid.r)).reshape(1, -1, 1, 1)
+        out[name] = fields[name] + prof
+    return out
+
+
 def to_cartesian(fields: Dict[str, np.ndarray], grid: FieldGrid
                  ) -> Dict[str, np.ndarray]:
     """Add Cartesian components (`Gaussian_flow_Cylinder_movie.py:850-855`)."""

@@ -71,6 +71,51 @@ def dispersion_diagram(rs: RootSet, rg: Regime, path: Optional[str] = None,
     return fig
 
 
+def multi_width_overlay(root_sets: Dict[str, RootSet], rg: Regime,
+                        path: Optional[str] = None, branch: str = "kink",
+                        continuum: Optional[Sequence[tuple]] = None,
+                        title: str = ""):
+    """Overlay dispersion diagrams of several profile widths with shaded
+    continuum bands (the reference analysis headline figure:
+    `analysis_photospheric.py:336-344` multi-width overlays;
+    `analysis_cylinder_coronal_09.py` tail `fill_between` of the
+    boundary-value speed ranges).
+
+    root_sets: {label: RootSet}; continuum: [(v_lo, v_hi, label), ...] bands
+    (e.g. the cusp continuum [cT_bound, cT_i0]).
+    """
+    fig, ax = plt.subplots(figsize=(8, 6))
+    cyc = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    k_max = 0.0
+    for i, (label, rs) in enumerate(root_sets.items()):
+        br = rs.branches.get(branch)
+        if br is None or len(br) == 0:
+            continue
+        ax.plot(br.ks, br.phase_speeds(), ".", ms=3, color=cyc[i % len(cyc)],
+                label=label)
+        k_max = max(k_max, float(np.max(br.ks)))
+    if continuum:
+        for v_lo, v_hi, lbl in continuum:
+            ax.fill_between([0, k_max or 1.0], v_lo, v_hi, color="0.85",
+                            zorder=0)
+            ax.annotate(lbl, xy=(0.02 * (k_max or 1.0), 0.5 * (v_lo + v_hi)),
+                        fontsize=8, color="0.4")
+    for sname, (c, ls) in SPEED_STYLES.items():
+        v = getattr(rg, sname, None)
+        if v:
+            ax.axhline(y=v, color=c, linestyle=ls, lw=0.8)
+    ax.set_xlabel("$k x_0$")
+    ax.set_ylabel(r"$\omega / k$")
+    if title:
+        ax.set_title(title)
+    ax.legend(loc="best", fontsize=8)
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
 def eigenfunction_figure(efs: Sequence[RadialEigenfunction],
                          labels: Optional[Sequence[str]] = None,
                          components: Sequence[str] = ("P_T", "xi_r"),
