@@ -295,6 +295,24 @@ class ComplexSearchResult(NamedTuple):
     mask: jnp.ndarray
 
 
+def count_roots_argument_principle(disp_batch: Callable, k, center, radius,
+                                   n_points: int = 512, mode=None):
+    """Number of zeros (minus poles) of the holomorphic dispersion determinant
+    inside a circle in the complex omega plane, by winding-number quadrature
+    (the argument-principle completeness check recommended by the retrieved
+    root-search literature - PAPERS.md; used to verify that a band's Newton
+    sweep missed no KH roots)."""
+    th = jnp.linspace(0.0, 2.0 * jnp.pi, n_points, endpoint=False)
+    z = center + radius * jnp.exp(1j * th)
+    kk = jnp.full(z.shape, k, jnp.asarray(center).real.dtype)
+    md = None if mode is None else jnp.full(z.shape, float(mode))
+    det = _call_disp(disp_batch, z, kk, md).det
+    dphase = jnp.angle(det[jnp.arange(1, n_points + 1) % n_points]
+                       / det)
+    winding = jnp.sum(dphase) / (2.0 * jnp.pi)
+    return winding
+
+
 def newton_complex(disp_batch: Callable, omega0: jnp.ndarray, k: jnp.ndarray,
                    n_iter: int = 20, damping: float = 1.0):
     """Batched Newton iteration in complex omega on the holomorphic dispersion
