@@ -21,8 +21,25 @@ import time
 import numpy as np
 
 
+def _device_healthy(timeout_s: float = 90.0) -> bool:
+    """Probe the default backend with a trivial op in a subprocess (a wedged
+    TPU tunnel hangs forever; a subprocess can be killed)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(jax.jit(lambda a:(a*2).sum())(jnp.ones(8)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def measure_ours():
     import jax
+    if not _device_healthy():
+        # wedged accelerator tunnel: fall back to CPU rather than hang
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -44,7 +61,7 @@ def measure_ours():
     rs, st = run_case(case, cfg)
     wall = time.time() - t0
     n_roots = sum(rs.counts().values())
-    return n_roots, wall, st.n_candidates
+    return n_roots, wall, st.n_candidates, jax.default_backend()
 
 
 def measure_reference_seed_cost(n_samples: int = 4):
@@ -107,7 +124,7 @@ def measure_reference_seed_cost(n_samples: int = 4):
 
 
 def main():
-    n_roots, wall, n_cands = measure_ours()
+    n_roots, wall, n_cands, backend = measure_ours()
     roots_per_sec = n_roots / wall
 
     try:
@@ -134,6 +151,7 @@ def main():
         "unit": "roots/s",
         "vs_baseline": round(vs_baseline, 2),
         "detail": {
+            "backend": backend,
             "n_roots": n_roots,
             "sweep_wall_s": round(wall, 3),
             "candidates": n_cands,

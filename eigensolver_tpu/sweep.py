@@ -225,8 +225,13 @@ def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
 
 
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
-             modes=None, device=None) -> tuple[RootSet, SweepStats]:
-    """Single-process sweep of one case. Returns (RootSet, SweepStats)."""
+             modes=None, device=None, refine_f64: bool = False
+             ) -> tuple[RootSet, SweepStats]:
+    """Single-process sweep of one case. Returns (RootSet, SweepStats).
+
+    refine_f64: after an f32 on-device sweep, re-bisect the accepted roots in
+    float64 on the host CPU (search.refine_on_cpu) to reach ~1e-7 relative
+    (TPU v5e has no native f64)."""
     search = search or SearchConfig(
         n_omega=case.grid.n_omega_ladder,
         n_bisect=case.grid.n_bisect,
@@ -259,6 +264,11 @@ def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
     for mode in modes:
         sel = np.abs(md - float(mode)) < 0.5
         om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
+        if refine_f64 and len(om_m):
+            from .search import refine_on_cpu
+            om_m = refine_on_cpu(
+                lambda m=mode: make_dispersion(case, m, dtype=jnp.float64),
+                om_m, kk_m)
         name = MODE_NAMES.get(mode, f"m{mode}")
         branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
         stats.n_roots += len(om_m)
