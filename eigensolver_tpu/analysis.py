@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import numpy.polynomial.polynomial as poly
 
-from .config import CaseConfig, Regime
+from .config import Regime
 from .roots import RootBranch, RootSet
 
 

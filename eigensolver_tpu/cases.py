@@ -13,7 +13,6 @@ from .config import (
     ProfileConfig,
     ProfileKind,
     Regime,
-    Tolerances,
 )
 
 

@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import CaseConfig, Geometry
-from .equilibrium import make_equilibrium
+from .config import CaseConfig
 from .ode import rk4_trajectory
 from .profiles import elementwise_grad
 from .physics.cylinder import CylinderPhysics

@@ -18,12 +18,10 @@ from radial force balance with the azimuthal flow
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
-
 import jax.numpy as jnp
 
-from .config import CaseConfig, ProfileConfig, ProfileKind, Regime
-from .profiles import Profile, elementwise_grad, make_profile
+from .config import CaseConfig, ProfileKind, Regime
+from .profiles import Profile, make_profile
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,7 +9,7 @@ XLA (complex64/128) - no float-view trick needed.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import CaseConfig
 from .roots import RootBranch, RootSet, dedup_roots
 from .search import SearchConfig, collect, search_rows
-from .sweep import (MODE_NAMES, SweepStats, build_ladders, make_dispersion,
-                    make_dispersion_jitted, make_dispersion_moded)
+from .sweep import (MODE_NAMES, SweepStats, build_ladders,
+                    make_dispersion_moded)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:

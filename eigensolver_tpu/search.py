@@ -20,8 +20,7 @@ batch), delivering 1e-6-relative eigenvalues at float32 scan cost.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

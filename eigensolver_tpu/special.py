@@ -19,7 +19,6 @@ A fused Pallas/TPU kernel of the same evaluation lives in
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EULER_GAMMA = 0.5772156649015328606
