@@ -7,7 +7,7 @@ density, longitudinal-flow and rotational-flow equilibria, real and complex
 (Kelvin-Helmholtz) frequencies, mode analysis, field synthesis, movies and VTK
 export. See SURVEY.md for the structural map of the reference.
 """
-from . import config, profiles, equilibrium, ode  # noqa: F401
+from . import analytic, config, profiles, equilibrium, ode  # noqa: F401
 from .config import (  # noqa: F401
     CaseConfig,
     Geometry,

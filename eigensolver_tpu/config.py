@@ -161,6 +161,14 @@ class CaseConfig:
     complex_omega: bool = False          # KH growth-rate search in complex omega
     imag_band: float = 0.25              # +/- range of Im(omega) seeds (reference
     #                                      `flow_multiprocessor_complex_coronal.py:1127`)
+    # Shear-coefficient form for the non-uniform-flow slab. The reference keeps
+    # TWO algebraic forms of D(x): the real Gaussian-flow solver ships the
+    # legacy form (`flow_multiprocessor_coronal.py:317-318`), while the complex
+    # KH solver replaced it (legacy kept commented out) with the corrected form
+    # (`flow_multiprocessor_complex_coronal.py:381-385`). They differ (ratio
+    # ~2.3 at typical points), displacing backward slow-band roots; pickle
+    # parity requires matching the generating file's form.
+    shear_D_legacy: bool = False
 
     def k_grid(self):
         import numpy as np

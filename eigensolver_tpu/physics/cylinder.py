@@ -239,15 +239,26 @@ class CylinderPhysics:
                 P_e = jnp.ones_like(P_e)
             xi_e = dP_e / (rg.rho_e * (omega ** 2 - k ** 2 * rg.vA_e ** 2))
 
-            # ---- 2x2 determinant --------------------------------------------
+            # ---- determinant -------------------------------------------------
+            # Twisted-equilibrium jump term: the reference's kink shooting
+            # objective is P_i(eps) + J xi_e(1) = 0 with J = B_phi(1)^2 -
+            # rho_i(1) v_phi(1)^2 (`Twisted_photospheric_nonlinear_flow_kink_
+            # fast.py:561,697`); the sausage objective omits it (`Twisted_
+            # photospheric_flow_sausage.py:570`). J = 0 identically for the
+            # density/axial-flow cases, so this is exact for all families.
+            r1f = jnp.asarray(1.0, dtype)
+            J = eq.B_phi(r1f) ** 2 - eq.rho_i(r1f) * eq.v_phi(r1f) ** 2
+            J = jnp.where(is_sausage, jnp.zeros_like(J), J)
+
             m1 = xi1 * P_e - xi_e * 1.0    # u1: P_u(1)=1
             m2 = xi2 * P_e - xi_e * 0.0    # u2: P_u(1)=0
-            det = a1 * m2 - a2 * m1
+            det = a1 * m2 - a2 * m1 + J * xi_e * xi2
 
             # reference-style % mismatch of xi_r after pressure matching:
-            # combination u = A u1 + B u2 with axis condition satisfied,
-            # scaled so P(1) = P_e(1) = 1  =>  A=1, B=-a1/a2.
-            B = -a1 / a2
+            # combination u = A u1 + B u2 with the (jump-corrected) axis
+            # condition satisfied, scaled so P(1) = P_e(1) = 1
+            # =>  A=1, B=-(a1 + J xi_e)/a2.
+            B = -(a1 + J * xi_e) / a2
             xi_i = xi1 + B * xi2
             num = jnp.abs(xi_e - xi_i)
             den = jnp.maximum(jnp.abs(xi_e), jnp.abs(xi_i))

@@ -192,10 +192,21 @@ class SlabPhysics:
                     ddUx = ddU(x)
                     m0 = ((k**2 * c2 - Om**2) * (k**2 * a2 - Om**2)
                           / ((c2 + a2) * (k**2 * cT2 - Om**2)))
-                    # shear coefficient D(x) (`flow_multiprocessor_complex_coronal.py:382`)
-                    Dx = (2.0 * k * dUx
-                          * (Om**2 / (Om**2 - k**2 * c2)
-                             - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
+                    if case.shear_D_legacy:
+                        # legacy shear coefficient, as shipped in the real
+                        # Gaussian-flow solver (`flow_multiprocessor_coronal.py:
+                        # 317-318`) - the form that generated the flow pickles
+                        Dx = (2.0 * k * dUx
+                              * ((Om**2 - k**2 * cT2)
+                                 + (k**4 * cT2 * c2)
+                                 / ((c2 + a2) * (Om**2 - k**2 * cT2)))
+                              / (Om * (Om**2 - k**2 * c2)))
+                    else:
+                        # corrected D(x) (`flow_multiprocessor_complex_coronal.py:
+                        # 381-385`, which supersedes the legacy form there)
+                        Dx = (2.0 * k * dUx
+                              * (Om**2 / (Om**2 - k**2 * c2)
+                                 - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
                     coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
                     return jnp.stack([dvx, -Dx * dvx - coeff * vx])
 

@@ -263,12 +263,19 @@ def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,
         kk = jnp.asarray(ks, jnp.float64)
         lo = om * (1.0 - rel_halfwidth)
         hi = om * (1.0 + rel_halfwidth)
-        f_lo = disp64(lo, kk).det
-        f_hi = disp64(hi, kk).det
-        # where the f64 signs do not bracket (f32 root slightly off), widen once
-        bad = jnp.signbit(f_lo) == jnp.signbit(f_hi)
-        lo = jnp.where(bad, om * (1.0 - 8 * rel_halfwidth), lo)
-        hi = jnp.where(bad, om * (1.0 + 8 * rel_halfwidth), hi)
+        # widen geometrically (x8 per round, up to ~2e-3 relative) where the
+        # f64 signs do not yet bracket: an f32-polished root can sit ~1e-3
+        # relative off the f64 zero when the determinant is cancellation-heavy
+        w = rel_halfwidth
+        for _ in range(4):
+            bad = jnp.signbit(disp64(lo, kk).det) == jnp.signbit(disp64(hi, kk).det)
+            w = 8.0 * w
+            lo = jnp.where(bad, om * (1.0 - w), lo)
+            hi = jnp.where(bad, om * (1.0 + w), hi)
+        # entries that never bracketed keep their f32 value untouched
+        bad = jnp.signbit(disp64(lo, kk).det) == jnp.signbit(disp64(hi, kk).det)
+        lo = jnp.where(bad, om, lo)
+        hi = jnp.where(bad, om, hi)
         f_lo = disp64(lo, kk).det
         lo_neg = jnp.signbit(f_lo)
 

@@ -36,11 +36,21 @@ SPEED_STYLES = {
 
 def dispersion_diagram(rs: RootSet, rg: Regime, path: Optional[str] = None,
                        fits: Optional[Dict[str, Dict[str, Sequence[BranchFit]]]] = None,
-                       v_lim: Optional[tuple] = None, title: str = ""):
+                       v_lim: Optional[tuple] = None, title: str = "",
+                       analytic: Optional[Dict] = None):
     """omega/k vs k scatter per mode family + characteristic-speed lines
-    (the reference's headline figure)."""
+    (the reference's headline figure). `analytic`: {branch: RootBranch} from
+    `analytic.analytic_curves`, drawn as the "known dispersion" underlay
+    exactly like the reference's validation figures
+    (`flow_multiprocessor.py:356,904,937`)."""
     fig, ax = plt.subplots(figsize=(8, 6))
     colors = {"sausage": "r", "kink": "b"}
+    if analytic:
+        for name, br in analytic.items():
+            if len(br) == 0:
+                continue
+            ax.plot(br.ks, br.phase_speeds(), "x", ms=3, mew=0.6, color="0.6",
+                    label=f"{name} (analytic)", zorder=1)
     for name, br in rs.branches.items():
         if len(br) == 0:
             continue

@@ -52,6 +52,9 @@ TARGETS = {
         speeds=(0.02, 0.06, 0.1, 0.15, 0.199, 0.21, 0.28, 0.4, 0.55, 0.7,
                 0.85, 1.0, 1.15, 1.35, 1.55, 1.8, 2.05, 2.3, 2.499),
         grid=dict(exterior_method="numeric", exterior_wavelengths=3.0),
+        # the generating file ships the LEGACY shear form D(x)
+        # (`flow_multiprocessor_coronal.py:317-318`)
+        case_extra=dict(shear_D_legacy=True),
     ),
     "cyl_co_09": dict(
         case=("cylinder_density_coronal", dict(width=0.9)),
@@ -77,11 +80,18 @@ TARGETS = {
                 -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.9, 1.0, 1.25, 1.5,
                 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 4.999),
     ),
+    # The twisted scripts accept the FIRST scanned omega whose xi residual is
+    # under P_tol=2.5% (`Twisted_photospheric_nonlinear_flow_kink_fast.py:
+    # 581,717` - loop breaks on acceptance), so the shipped roots sit one-sided
+    # ~0.2-0.6% BELOW the residual's true zero (measured: mean +3.3e-3, all
+    # positive). Match tolerance reflects that acceptance width; the residual
+    # of OUR zeros under the reference metric is 0.01-0.06%.
     "twist_v01_p1": dict(
         case=("cylinder_twisted_photospheric",
               dict(v_twist=0.1, power=1.0, mode=1)),
         pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist01_power1_fund_kink.pickle",
         speeds=(0.85, 0.95, 1.05, 1.15, 1.25, 1.32, 1.40, 1.4899),
+        tol=8e-3,
     ),
 }
 
@@ -111,7 +121,8 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3):
     }
 
 
-def run_target(name, spec, scan_dtype="float32", n_omega=384):
+def run_target(name, spec, scan_dtype="float32", n_omega=384,
+               refine_f64=False):
     import jax.numpy as jnp
     from eigensolver_tpu import cases as case_mod
     from eigensolver_tpu.roots import load_pickle
@@ -128,11 +139,13 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384):
     if spec.get("grid"):
         case = dataclasses.replace(
             case, grid=dataclasses.replace(case.grid, **spec["grid"]))
+    if spec.get("case_extra"):
+        case = dataclasses.replace(case, **spec["case_extra"])
     cfg = SearchConfig(n_omega=n_omega, n_bisect=50, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype, max_brackets_per_row=8,
                        fuzz_accept_pct=3.0)
     t0 = time.time()
-    rs, st = run_case(case, cfg)
+    rs, st = run_case(case, cfg, refine_f64=refine_f64)
     wall = time.time() - t0
     speeds = sorted(spec["speeds"])
     v_lo, v_hi = speeds[0], speeds[-1]
@@ -142,7 +155,8 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384):
         ours = rs.branches.get(bname)
         if ours is None or len(br) == 0:
             continue
-        out[bname] = match_report(br, ours, v_lo, v_hi)
+        out[bname] = match_report(br, ours, v_lo, v_hi,
+                                  tol=spec.get("tol", 3e-3))
         out[bname]["ref_total"] = len(br)
     return out
 
@@ -154,6 +168,8 @@ def main():
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--json", default=None)
     ap.add_argument("--n-omega", type=int, default=384)
+    ap.add_argument("--refine", action="store_true",
+                    help="f64 host-CPU re-bisection of accepted roots")
     args = ap.parse_args()
 
     import jax
@@ -166,7 +182,10 @@ def main():
         jax.config.update("jax_platforms", args.device)
     if args.dtype is None:
         args.dtype = "float64" if jax.default_backend() == "cpu" else "float32"
-    if args.dtype == "float64":
+    if args.dtype == "float64" or args.refine:
+        # refine_on_cpu genuinely needs f64 buffers (without x64 JAX silently
+        # truncates them to f32 and the refinement is a no-op); the on-device
+        # scan keeps its explicit float32 dtypes either way.
         jax.config.update("jax_enable_x64", True)
 
     reports = []
@@ -175,7 +194,7 @@ def main():
               file=sys.stderr, flush=True)
         try:
             rep = run_target(t, TARGETS[t], scan_dtype=args.dtype,
-                             n_omega=args.n_omega)
+                             n_omega=args.n_omega, refine_f64=args.refine)
         except Exception as e:  # keep going; report the failure
             rep = {"target": t, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rep))
