@@ -114,9 +114,49 @@ def cmd_analyze(args):
                for m, per in fits.items()}
     print(json.dumps({"branches": summary, "counts": rs.counts()}))
     if args.plot:
+        an = None
+        if args.analytic:
+            from .analytic import analytic_curves
+            ks = np.unique(np.concatenate(
+                [b.ks for b in rs.branches.values() if len(b)]))
+            vs = np.concatenate(
+                [b.phase_speeds() for b in rs.branches.values() if len(b)])
+            an = analytic_curves(case.regime, ks, float(vs.min()) * 0.98,
+                                 float(vs.max()) * 1.02,
+                                 geometry=case.geometry.value,
+                                 modes=case.modes)
         dispersion_diagram(rs, case.regime, path=args.plot, fits=fits,
-                           title=case.name)
+                           title=case.name, analytic=an)
         print(f"saved {args.plot}")
+
+
+def cmd_compare(args):
+    """Overlay many result pickles on one dispersion diagram - the capability
+    of the reference's multi-width / twisted comparison books
+    (`analysis_photospheric.py:336-344` four-width overlays;
+    `analysis_cylinder_twisted_nonlinear_compare_power_twistedflow.py:441-631`
+    dozens of (v_twist, power) pickles on one figure)."""
+    _apply_device(args)
+    from .roots import load_pickle
+    from .viz import multi_width_overlay
+
+    case = _build_case(args)
+    labels = (args.labels.split(",") if args.labels
+              else [p.rsplit("/", 1)[-1].removesuffix(".pickle")
+                    for p in args.pickles])
+    if len(labels) != len(args.pickles):
+        sys.exit(f"{len(args.pickles)} pickles but {len(labels)} labels")
+    root_sets = {lbl: load_pickle(p, lbl)
+                 for lbl, p in zip(labels, args.pickles)}
+    continuum = None
+    if args.continuum:
+        # cusp/Alfven continua between the boundary and centre values
+        from .equilibrium import continuum_bands
+        continuum = continuum_bands(case)
+    out = multi_width_overlay(root_sets, case.regime, path=args.output,
+                              branch=args.branch, continuum=continuum,
+                              title=case.name)
+    print(f"saved {out}")
 
 
 def _pick_root(rs, branch, k_target):
@@ -213,9 +253,23 @@ def main(argv=None):
             p.add_argument("--frames", type=int, default=16)
         if name in ("analyze", "eigenfunction"):
             p.add_argument("--plot", default=None)
+        if name == "analyze":
+            p.add_argument("--analytic", action="store_true",
+                           help="underlay the uniform-limit analytic curves")
         if name in ("movie", "vtk"):
             p.add_argument("-o", "--output", required=True)
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("compare")
+    p.add_argument("pickles", nargs="+")
+    _add_case_args(p)
+    p.add_argument("--labels", default=None,
+                   help="comma-separated labels (default: pickle basenames)")
+    p.add_argument("--branch", default="kink")
+    p.add_argument("--continuum", action="store_true",
+                   help="shade the layer's characteristic-speed continua")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_compare)
 
     # fix the sweep parser's case handling: case_name positional
     args = ap.parse_args(argv)

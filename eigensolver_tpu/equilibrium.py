@@ -56,6 +56,35 @@ def _const(v: float) -> Profile:
     return f
 
 
+def continuum_bands(case: CaseConfig, n: int = 512):
+    """[(v_lo, v_hi, label), ...] ranges each characteristic speed sweeps
+    across the non-uniform layer - the shaded continuum bands of the
+    reference's overlay figures (fill_between of the boundary-to-centre speed
+    ranges, `analysis_photospheric.py` / `analysis_cylinder_coronal_09.py`
+    tails). Uniform speeds (zero-width bands) are dropped."""
+    import numpy as np
+    eq = make_equilibrium(case)
+    eps = case.grid.axis_epsilon if case.geometry.value == "cylinder" else 0.0
+    xs = jnp.linspace(eps, 1.0, n)
+    out = []
+    for fn, label in ((eq.cT_i, "$c_T$ continuum"),
+                      (eq.c_i, "$c$ continuum"),
+                      (eq.vA_i, "$v_A$ continuum")):
+        v = np.asarray(fn(xs), float)
+        lo, hi = float(np.min(v)), float(np.max(v))
+        if hi - lo > 1e-9 * max(1.0, abs(hi)):
+            out.append((lo, hi, label))
+    # Doppler-shifted cusp band when the layer flows (backward slow continuum)
+    u = np.asarray(eq.U_i(xs), float)
+    if np.ptp(u) > 1e-12 or abs(u[0]) > 1e-12:
+        ct = np.asarray(eq.cT_i(xs), float)
+        out.append((float(np.min(u - ct)), float(np.max(u - ct)),
+                    "$U - c_T$ continuum"))
+        out.append((float(np.min(u + ct)), float(np.max(u + ct)),
+                    "$U + c_T$ continuum"))
+    return out
+
+
 def make_equilibrium(case: CaseConfig) -> Equilibrium:
     rg = case.regime
     rho_e, g = rg.rho_e, rg.gamma
