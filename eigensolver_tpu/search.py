@@ -126,6 +126,14 @@ class SearchConfig:
     max_brackets_per_row: int = 8
     n_bisect: int = 60
     accept_pct: float = 1.0      # residual % at converged root (pole filter)
+    # When f64 refinement runs (run_case refine_f64), acceptance can be
+    # re-judged at the refined root in f64 with this threshold; the scan-stage
+    # accept_pct is then typically loosened. Needle-sharp quasi-resonances
+    # (e.g. slab-flow backward slow modes near the Doppler cusp edge, whose
+    # residual climbs to ~100% within 1e-4 relative of the zero) are
+    # unreachable by an f32 polish filter but trivially accepted at their f64
+    # zero. None = keep the scan-stage decision.
+    accept_pct_refined: Optional[float] = None
     scan_dtype: str = "float64"
     polish_dtype: str = "float64"
     # Reference-parity acceptance: additionally record scan points whose
@@ -165,14 +173,21 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         if cfg.fuzz_accept_pct is None:
             return pr, None
         # reference-parity swath acceptance: keep local minima of the
-        # residual among scan points passing the tolerance
+        # residual among scan points passing the tolerance, PLUS the first
+        # point of each under-tolerance run - the reference breaks out of the
+        # band on its first acceptance (`multiprocessor_Inhomogeneous_method
+        # .py:503-508` break; `Cylinder_method_flow_testing.py` kink loop), so
+        # band-edge seeds at characteristic speeds (e.g. v = c_kink) become
+        # recorded roots even though the residual still decreases beyond them.
         acc = valid & jnp.isfinite(mism) & (mism < cfg.fuzz_accept_pct)
         big = jnp.where(jnp.isfinite(mism), mism, jnp.inf)
         left = jnp.concatenate([jnp.full_like(big[:, :1], jnp.inf),
                                 big[:, :-1]], axis=1)
         right = jnp.concatenate([big[:, 1:],
                                  jnp.full_like(big[:, :1], jnp.inf)], axis=1)
-        keep = acc & (big <= left) & (big <= right)
+        acc_left = jnp.concatenate(
+            [jnp.zeros_like(acc[:, :1]), acc[:, :-1]], axis=1)
+        keep = acc & ((big <= left) & (big <= right) | ~acc_left)
         n_omega = omegas.shape[1]
         fuzz = PolishResult(
             omega=omegas.reshape(-1),

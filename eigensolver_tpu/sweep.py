@@ -269,6 +269,19 @@ def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
             om_m = refine_on_cpu(
                 lambda m=mode: make_dispersion(case, m, dtype=jnp.float64),
                 om_m, kk_m)
+            if search.accept_pct_refined is not None:
+                # re-judge acceptance at the f64-refined root (see
+                # SearchConfig.accept_pct_refined)
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    d64 = jax.jit(jax.vmap(
+                        make_dispersion(case, mode, dtype=jnp.float64)))
+                    res = d64(jnp.asarray(om_m, jnp.float64),
+                              jnp.asarray(kk_m, jnp.float64))
+                keep = (np.asarray(res.mismatch_pct) <
+                        search.accept_pct_refined) & np.asarray(res.valid)
+                om_m, kk_m = om_m[keep], kk_m[keep]
+            om_m, kk_m = dedup_roots(om_m, kk_m, rel_tol=case.tol.dedup_rel)
         name = MODE_NAMES.get(mode, f"m{mode}")
         branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
         stats.n_roots += len(om_m)

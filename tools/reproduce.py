@@ -73,12 +73,18 @@ TARGETS = {
     # 'flow_1' names the Gaussian flow WIDTH (dr=1), amplitude U_i0=0.05 c_i0 -
     # fixed by the analysis scripts (`analysis_cylinder_flow_coronal.py:117,121`
     # with sibling pickles flow_1e5/flow_15 = widths 1e5/1.5)
+    # band edges = the generating file's characteristic speeds (positive list
+    # `Cylinder_method_flow_testing.py:231`, negative variant kept at `:228`):
+    # +-{cT_i0=0.8944, c_i0=1, vA_i0=2, c_kink=2.75325, vA_e=5}. The reference
+    # breaks on its FIRST under-tolerance scan point, so flat kink branches
+    # hugging c_kink are recorded AT the band-edge seed v = +-c_kink - the
+    # fuzz first-of-run points reproduce those entries.
     "cyl_flow_1": dict(
         case=("cylinder_flow_coronal", dict(U=0.05, width=1.0)),
         pickle=f"{REF}/Cylinder/Non-uniform flow/Coronal/Example data/Cylindrical_coronal_flow_1.pickle",
-        speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.5, -2.0, -1.5, -1.0, -0.9,
-                -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.9, 1.0, 1.25, 1.5,
-                2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 4.999),
+        speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.75325, -2.5, -2.0, -1.5,
+                -1.0, -0.8944, -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.8944,
+                1.0, 1.25, 1.5, 2.0, 2.5, 2.75325, 3.0, 3.5, 4.0, 4.5, 4.999),
     ),
     # The twisted scripts accept the FIRST scanned omega whose xi residual is
     # under P_tol=2.5% (`Twisted_photospheric_nonlinear_flow_kink_fast.py:
@@ -143,7 +149,12 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
         case = dataclasses.replace(case, **spec["case_extra"])
     cfg = SearchConfig(n_omega=n_omega, n_bisect=50, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype, max_brackets_per_row=8,
-                       fuzz_accept_pct=3.0)
+                       fuzz_accept_pct=3.0,
+                       # with --refine, loosen the f32 filter and re-judge at
+                       # the f64 zero (needle quasi-resonances; see
+                       # SearchConfig.accept_pct_refined)
+                       accept_pct=25.0 if refine_f64 else 1.0,
+                       accept_pct_refined=3.0 if refine_f64 else None)
     t0 = time.time()
     rs, st = run_case(case, cfg, refine_f64=refine_f64)
     wall = time.time() - t0
