@@ -36,8 +36,15 @@ def _device_healthy(timeout_s: float = 90.0) -> bool:
 
 
 def measure_ours():
+    # Probe BEFORE this process imports jax (the axon plugin may hold the
+    # single-tenant tunnel), and retry once: a freshly-detached previous
+    # process can make the first attach hang.
+    healthy = _device_healthy()
+    if not healthy:
+        time.sleep(20.0)
+        healthy = _device_healthy(timeout_s=180.0)
     import jax
-    if not _device_healthy():
+    if not healthy:
         # wedged accelerator tunnel: fall back to CPU rather than hang
         jax.config.update("jax_platforms", "cpu")
     try:

@@ -128,6 +128,10 @@ def cmd_analyze(args):
         dispersion_diagram(rs, case.regime, path=args.plot, fits=fits,
                            title=case.name, analytic=an)
         print(f"saved {args.plot}")
+    if args.growth:
+        from .viz import growth_rate_diagram
+        growth_rate_diagram(rs, case.regime, path=args.growth, title=case.name)
+        print(f"saved {args.growth}")
 
 
 def cmd_compare(args):
@@ -256,6 +260,9 @@ def main(argv=None):
         if name == "analyze":
             p.add_argument("--analytic", action="store_true",
                            help="underlay the uniform-limit analytic curves")
+            p.add_argument("--growth", default=None, metavar="PNG",
+                           help="save a Re/Im omega growth-rate figure "
+                                "(complex KH runs)")
         if name in ("movie", "vtk"):
             p.add_argument("-o", "--output", required=True)
         p.set_defaults(fn=fn)

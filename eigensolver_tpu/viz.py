@@ -126,6 +126,54 @@ def multi_width_overlay(root_sets: Dict[str, RootSet], rg: Regime,
     return fig
 
 
+def growth_rate_diagram(rs: RootSet, rg: Regime, path: Optional[str] = None,
+                        title: str = "", kh_threshold: Optional[float] = None):
+    """Two-panel Kelvin-Helmholtz figure: Re(omega)/k vs k (phase speed) and
+    Im(omega) vs k (growth rate), unstable roots highlighted - the capability
+    of the reference's complex-analysis plots
+    (`complex_imag_flow_analysis.py:224-230` loads real+imag pickle arrays and
+    plots growth rates vs k).
+
+    kh_threshold: optional analytic KH-onset shear speed; drawn as a guide
+    annotation on the growth panel.
+    """
+    fig, (ax_re, ax_im) = plt.subplots(
+        2, 1, figsize=(8, 8), sharex=True,
+        gridspec_kw={"height_ratios": [2, 1]})
+    colors = {"sausage": "r", "kink": "b"}
+    for name, br in rs.branches.items():
+        if len(br) == 0:
+            continue
+        c = colors.get(name, "g")
+        im = br.omegas_imag if br.omegas_imag is not None else np.zeros_like(br.omegas)
+        stable = np.abs(im) <= 1e-12
+        ax_re.plot(br.ks[stable], br.omegas[stable] / br.ks[stable], ".",
+                   ms=3, color=c, label=f"{name} (stable)")
+        ax_re.plot(br.ks[~stable], br.omegas[~stable] / br.ks[~stable], "o",
+                   ms=4, mfc="none", color=c, label=f"{name} (unstable)")
+        ax_im.plot(br.ks, im, ".", ms=3, color=c)
+    for sname, (c, ls) in SPEED_STYLES.items():
+        v = getattr(rg, sname, None)
+        if v:
+            ax_re.axhline(y=v, color=c, linestyle=ls, lw=0.8)
+    ax_im.axhline(y=0.0, color="k", lw=0.6)
+    if kh_threshold is not None:
+        ax_im.annotate(f"KH onset $U > {kh_threshold:.3g}$",
+                       xy=(0.02, 0.9), xycoords="axes fraction", fontsize=8)
+    ax_re.set_ylabel(r"$\mathrm{Re}\,\omega / k$")
+    ax_im.set_ylabel(r"$\mathrm{Im}\,\omega$  (growth rate)")
+    ax_im.set_xlabel("$k x_0$")
+    if title:
+        ax_re.set_title(title)
+    ax_re.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
 def eigenfunction_figure(efs: Sequence[RadialEigenfunction],
                          labels: Optional[Sequence[str]] = None,
                          components: Sequence[str] = ("P_T", "xi_r"),

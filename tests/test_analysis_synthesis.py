@@ -181,3 +181,17 @@ def test_viz_smoke(tmp_path):
     assert os.path.getsize(p1) > 5000
     p2 = eigenfunction_figure([_fake_ef()], path=str(tmp_path / "ef.png"))
     assert os.path.getsize(p2) > 5000
+
+
+def test_growth_rate_diagram(tmp_path):
+    from eigensolver_tpu.roots import RootSet
+    from eigensolver_tpu.viz import growth_rate_diagram
+
+    rg = Regime(c_i0=1.0, vA_i0=2.0, c_e=0.5, vA_e=5.0)
+    br = _fake_branch()
+    im = np.zeros_like(br.omegas)
+    im[::3] = 0.05  # some unstable roots
+    rs = RootSet({"kink": RootBranch(br.omegas, br.ks, omegas_imag=im)}, "kh")
+    p = growth_rate_diagram(rs, rg, path=str(tmp_path / "growth.png"),
+                            kh_threshold=1.2)
+    assert os.path.getsize(p) > 5000
