@@ -1,0 +1,394 @@
+#!/usr/bin/env python
+"""Independent high-accuracy re-judgement of reproduce.py misses.
+
+For every reference-pickle root our sweep failed to match, re-run the
+REFERENCE'S OWN numerical scheme - endpoint-parity shooting with the
+exterior integrated from tiny initial conditions - but with tight
+integrator tolerances (`solve_ivp` rtol=1e-11, vs the reference's
+`odeint` LSODA defaults on a 500-point output grid), locate the residual
+dip near the shipped value, and classify the miss:
+
+  ref_error       the high-accuracy root agrees with OUR root (within the
+                  match tolerance) but not with the shipped value: the
+                  pickle entry carries the reference's own discretization
+                  error, not a physics miss on our side.
+  genuine         the high-accuracy root confirms the shipped value: a real
+                  miss of ours.
+  irreproducible  the reference's own scheme, run accurately, produces no
+                  residual dip below `accept_pct` anywhere near the shipped
+                  value (cf. the REPRODUCTION.md "irreproducible entries").
+  both_off        a dip exists but matches neither the pickle nor us.
+
+This is a pure numpy/scipy replication of the reference pipelines - no
+JAX, no code from this framework - so it is an independent arbiter between
+our solver and the shipped pickles. Reference pipelines replicated:
+  slab density:  `Slab/Non uniform density/Photospheric/Solvers/
+                 multiprocessor_Inhomogeneous_method.py:319-414`
+  slab flow:     `Slab/Non uniform flow/Solver/flow_multiprocessor_coronal.py:
+                 300-395` (legacy shear form D(x) `:317-318`)
+  cylinder:      `Cylinder/Non-uniform density/Coronal/solvers/
+                 Density_cylinder.py:546-688` Hain-Luest chain (with the
+                 axial-flow Doppler shift of `Cylinder_method_flow_testing
+                 .py:577-578` when U != 0)
+
+Usage:
+  python tools/reproduce.py slab_flow_1 --json /tmp/repro.json
+  python tools/ref_recheck.py /tmp/repro.json --out /tmp/recheck.json
+"""
+import argparse
+import json
+import sys
+import warnings
+from multiprocessing import Pool
+
+import numpy as np
+from scipy.integrate import solve_ivp
+from scipy.optimize import brentq
+
+warnings.filterwarnings("ignore")
+
+GAMMA = 5.0 / 3.0
+RTOL = 1e-11
+ATOL = 1e-300
+
+
+def _ivp(rhs, span, y0):
+    """solve_ivp with a stall guard: flow-continuum poles (Doppler shift
+    Omega -> 0 inside the layer) drive the step size to zero; LSODA with a
+    min_step floor steps over them like the reference's odeint does, and a
+    failed solve returns None -> residual NaN."""
+    s = solve_ivp(rhs, span, y0, method="LSODA", rtol=RTOL, atol=ATOL,
+                  min_step=1e-10)
+    if not s.success or not np.all(np.isfinite(s.y[:, -1])):
+        return None
+    return s
+
+
+# --------------------------------------------------------------------------
+# case parameter table (mirrors tools/reproduce.py TARGETS; constants cited
+# from the generating reference files)
+# --------------------------------------------------------------------------
+
+CASES = {
+    # slab, Gaussian density (multiprocessor_Inhomogeneous_method.py:70-103)
+    "slab_ph_09": dict(engine="slab_density", c_i0=1.0, vA_i0=1.9, c_e=1.3,
+                       vA_e=0.8, width=0.9, wavelengths=7.0),
+    "slab_ph_1e5": dict(engine="slab_density", c_i0=1.0, vA_i0=1.9, c_e=1.3,
+                        vA_e=0.8, width=1e5, wavelengths=7.0),
+    # coronal variant (multiprocessor_Inhomogeneous_method_coronal.py)
+    "slab_co_09": dict(engine="slab_density", c_i0=1.0, vA_i0=1.2, c_e=0.4,
+                       vA_e=3.0, width=0.9, wavelengths=3.0),
+    # slab, uniform density + Gaussian flow (flow_multiprocessor_coronal.py:60-126)
+    "slab_flow_1": dict(engine="slab_flow", c_i0=0.3, vA_i0=1.0, c_e=0.2,
+                        vA_e=2.5, U_i0=0.35, width=1.0, wavelengths=3.0),
+    # cylinder, Gaussian density (Density_cylinder.py:68-80,124-221)
+    "cyl_co_09": dict(engine="cylinder", c_i0=1.0, vA_i0=2.0, c_e=0.5,
+                      vA_e=5.0, width=0.9, U_i0=0.0, wavelengths=3.0),
+    "cyl_ph_09": dict(engine="cylinder", c_i0=1.0, vA_i0=2.0, c_e=1.5,
+                      vA_e=0.5, width=0.9, U_i0=0.0, wavelengths=3.0),
+    # cylinder, uniform density + Gaussian axial flow
+    # (Cylinder_method_flow_testing.py:134-135; U identified in reproduce.py)
+    "cyl_flow_1": dict(engine="cylinder", c_i0=1.0, vA_i0=2.0, c_e=0.5,
+                       vA_e=5.0, width=None, U_i0=0.05, flow_width=1.0,
+                       wavelengths=3.0),
+}
+
+
+def _derived(p):
+    c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
+    rho_i0 = 1.0
+    rho_e = rho_i0 * (c_i0**2 + GAMMA / 2 * vA_i0**2) / (c_e**2 + GAMMA / 2 * vA_e**2)
+    cT_e = np.sqrt(c_e**2 * vA_e**2 / (c_e**2 + vA_e**2))
+    return rho_i0, rho_e, cT_e
+
+
+# --------------------------------------------------------------------------
+# slab engines (endpoint-parity full-domain scheme)
+# --------------------------------------------------------------------------
+
+def slab_residual(p, om, k, parity):
+    """% total-pressure mismatch of the reference slab scheme at (om, k)."""
+    c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
+    rho_i0, rho_e, cT_e = _derived(p)
+    W = p["width"]
+    flow = p["engine"] == "slab_flow"
+    U_i0 = p.get("U_i0", 0.0)
+
+    if flow:
+        def U(x): return U_i0 * np.exp(-x**2 / W**2)
+        def dU(x): return U(x) * (-2.0 * x / W**2)
+        def ddU(x): return U_i0 * np.exp(-x**2 / W**2) * (4 * x**2 / W**4 - 2.0 / W**2)
+        def rho(x): return rho_i0 + 0.0 * x
+        def vA(x): return vA_i0 + 0.0 * x
+        def cs(x): return c_i0 + 0.0 * x
+    else:
+        def U(x): return 0.0
+        def rho(x): return rho_e + (rho_i0 - rho_e) * np.exp(-x**2 / W**2)
+        def vA(x): return vA_i0 * np.sqrt(rho_i0 / rho(x))
+        def cs(x): return np.sqrt(rho_e * (c_e**2 + GAMMA / 2 * vA_e**2) / rho(x)
+                                  - GAMMA / 2 * vA(x)**2)
+
+    m_e = ((k**2 * vA_e**2 - om**2) * (k**2 * c_e**2 - om**2)
+           / ((vA_e**2 + c_e**2) * (k**2 * cT_e**2 - om**2)))
+    if m_e < 0:
+        return np.nan
+    p_e = (rho_e * (vA_e**2 + c_e**2) * (k**2 * cT_e**2 - om**2)
+           / (om * (k**2 * c_e**2 - om**2)))
+
+    L = p["wavelengths"] * 2.0 * np.pi / k
+    se = _ivp(lambda x, V: [V[1], m_e * V[0]], (-L, -1.0),
+              [1e-8, 1e-8 if not flow else 1e-15])
+    if se is None:
+        return np.nan
+    vxe, dvxe = se.y[0, -1], se.y[1, -1]
+    leftP = p_e * dvxe
+    lb = vxe * ((om - k * U(-1.0)) / om if flow else 1.0)
+
+    if flow:
+        def rhs(x, V):
+            w = om - k * U(x)
+            c2, a2 = c_i0**2, vA_i0**2
+            cT2 = c2 * a2 / (c2 + a2)
+            m0 = ((k**2 * c2 - w**2) * (k**2 * a2 - w**2)
+                  / ((c2 + a2) * (k**2 * cT2 - w**2)))
+            # legacy shear form (`flow_multiprocessor_coronal.py:317-318`)
+            Dx = (2.0 * k * dU(x) * ((w**2 - k**2 * cT2)
+                  + (k**4 * cT2 * c2) / ((c2 + a2) * (w**2 - k**2 * cT2)))
+                  / (w * (w**2 - k**2 * c2)))
+            coeff = (k * ddU(x) / w) + (k * dU(x) * Dx / w) - m0
+            return [V[1], -Dx * V[1] - coeff * V[0]]
+    else:
+        h = 1e-7
+
+        def F(x):
+            c2, a2 = cs(x)**2, vA(x)**2
+            cT2 = c2 * a2 / (c2 + a2)
+            return rho(x) * (c2 + a2) * (k**2 * cT2 - om**2) / (k**2 * c2 - om**2)
+
+        def rhs(x, V):
+            c2, a2 = cs(x)**2, vA(x)**2
+            cT2 = c2 * a2 / (c2 + a2)
+            m0 = ((k**2 * c2 - om**2) * (k**2 * a2 - om**2)
+                  / ((c2 + a2) * (k**2 * cT2 - om**2)))
+            dlogF = (F(x + h) - F(x - h)) / (2 * h * F(x))
+            return [V[1], -dlogF * V[1] + m0 * V[0]]
+
+    sign = 1.0 if parity == "sausage" else -1.0
+
+    def endcond(dv):
+        s = _ivp(rhs, (-1.0, 1.0), [lb, float(dv)])
+        return np.nan if s is None else s.y[0, -1] + sign * lb
+
+    dv = _solve_scalar(endcond, lb, k)
+    if dv is None:
+        return np.nan
+    s = _ivp(rhs, (-1.0, 1.0), [lb, dv])
+    if s is None:
+        return np.nan
+    w1 = om - k * U(-1.0)
+    c2, a2 = cs(-1.0)**2, vA(-1.0)**2
+    cT2 = c2 * a2 / (c2 + a2)
+    PTi = (rho(-1.0) * (a2 + c2) * (k**2 * cT2 - w1**2)
+           / (w1 * (k**2 * c2 - w1**2)))
+    insideP = PTi * s.y[1, 0]
+    return abs(leftP - insideP) * 100 / max(abs(leftP), abs(insideP))
+
+
+# --------------------------------------------------------------------------
+# cylinder engine (Hain-Luest P-formulation on the negative-r trick grid)
+# --------------------------------------------------------------------------
+
+def cylinder_residual(p, om, k, parity, m=None):
+    c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
+    rho_i0, rho_e, cT_e = _derived(p)
+    m = m if m is not None else (0 if parity == "sausage" else 1)
+    U_i0 = p.get("U_i0", 0.0)
+    B_0 = vA_i0 * np.sqrt(rho_i0)
+
+    if p.get("width") is not None:        # Gaussian density, no flow
+        W = p["width"]
+        def rho(r): return rho_e + (rho_i0 - rho_e) * np.exp(-r**2 / W**2)
+        def vz(r): return 0.0
+    else:                                  # uniform density, Gaussian v_z
+        FW = p["flow_width"]
+        def rho(r): return rho_i0 + 0.0 * r
+        def vz(r): return U_i0 * np.exp(-r**2 / FW**2)
+
+    def vA(r): return B_0 / np.sqrt(rho(r))
+    def cs2(r):
+        return rho_e * (c_e**2 + GAMMA / 2 * vA_e**2) / rho(r) - GAMMA / 2 * vA(r)**2
+
+    def shift(r): return om - k * vz(r)
+    def alf2(r): return k**2 * B_0**2 / rho(r)          # alfven_freq^2
+    def cusp2(r):
+        c2 = cs2(r)
+        return alf2(r) * c2 / (c2 + vA(r)**2)
+
+    def Dfun(r):
+        c2 = cs2(r)
+        return (rho(r) * (c2 + vA(r)**2) * (shift(r)**2 - alf2(r))
+                * (shift(r)**2 - cusp2(r)))
+
+    def C2f(r):
+        c2 = cs2(r)
+        return (shift(r)**4 - (c2 + vA(r)**2) * (m**2 / r**2 + k**2)
+                * (shift(r)**2 - cusp2(r)))
+
+    def C3f(r):
+        # Q = T = C3_diff = 0 for v_iphi = B_iphi = 0
+        return Dfun(r) * rho(r) * (shift(r)**2 - alf2(r))
+
+    def Ffun(r):
+        return r * Dfun(r) / C3f(r)        # = r / (rho (shift^2 - alf^2))
+
+    h = 1e-7
+
+    def rhs_i(r, P):
+        F = Ffun(r)
+        dF = (Ffun(r + h) - Ffun(r - h)) / (2 * h)
+        g = -r * C2f(r) / Dfun(r)          # C1 = 0
+        return [P[1], (-dF / F) * P[1] + (g / F) * P[0]]
+
+    m_e = ((k**2 * vA_e**2 - om**2) * (k**2 * c_e**2 - om**2)
+           / ((vA_e**2 + c_e**2) * (k**2 * cT_e**2 - om**2)))
+    if m_e < 0:
+        return np.nan
+    xi_e_const = -1.0 / (rho_e * (k**2 * vA_e**2 - om**2))
+
+    L = p["wavelengths"] * 2.0 * np.pi / k
+    se = _ivp(lambda r, P: [P[1], -P[1] / r + (m_e + 1.0 / r**2) * P[0]],
+              (-L, -1.0), [1e-8, 1e-8])
+    if se is None:
+        return np.nan
+    left_P = se.y[0, -1]
+    left_xi = xi_e_const * se.y[1, -1]
+
+    r_axis = -0.001
+
+    def endcond(dP):
+        s = _ivp(rhs_i, (-1.0, r_axis), [left_P, float(dP)])
+        if s is None:
+            return np.nan
+        if parity == "kink":
+            return s.y[0, -1]              # P(0) = 0
+        return s.y[1, -1]                  # P'(0) = 0 (sausage, `:1083-1085`)
+
+    dP = _solve_scalar(endcond, left_P, k)
+    if dP is None:
+        return np.nan
+    s = _ivp(rhs_i, (-1.0, r_axis), [left_P, dP])
+    if s is None:
+        return np.nan
+    r1 = -1.0
+    inside_xi = s.y[1, 0] / (rho(r1) * (shift(r1)**2 - alf2(r1)))  # (C1 P + D P')/C3
+    return abs(left_xi - inside_xi) * 100 / max(abs(left_xi), abs(inside_xi))
+
+
+def _solve_scalar(f, scale, k):
+    """Robust scalar root of f(dv)=0: the problem is LINEAR in dv (linear ODE,
+    linear BC), so two evaluations determine the root exactly."""
+    s = abs(scale) if scale != 0 else 1.0
+    f0, f1 = f(0.0), f(s)
+    if not (np.isfinite(f0) and np.isfinite(f1)) or f1 == f0:
+        return None
+    return -f0 * s / (f1 - f0)
+
+
+# --------------------------------------------------------------------------
+# classification driver
+# --------------------------------------------------------------------------
+
+def recheck_miss(args):
+    name, p, om_ref, k, parity, om_ours, tol = args
+    resid = (slab_residual if p["engine"].startswith("slab")
+             else cylinder_residual)
+    rel_gap = (abs(om_ours - om_ref) / om_ref if om_ours else 1e-2)
+    w = min(max(3.0 * rel_gap, 8e-3), 4e-2)
+    om_star, r_star = _locate_dip(lambda o: resid(p, o, k, parity),
+                                  om_ref, w)
+    out = dict(k=k, omega_ref=om_ref, omega_ours=om_ours, parity=parity,
+               omega_hiacc=om_star, resid_hiacc=r_star)
+    if om_star is None or r_star > 5.0:
+        out["verdict"] = "irreproducible"
+        return out
+    dev_ref = abs(om_star - om_ref) / abs(om_ref)
+    dev_ours = (abs(om_star - om_ours) / abs(om_star)
+                if om_ours else np.inf)
+    if dev_ours < tol <= dev_ref:
+        out["verdict"] = "ref_error"
+    elif dev_ref < tol:
+        out["verdict"] = "genuine"
+    else:
+        out["verdict"] = "both_off"
+    out["dev_ref"] = round(dev_ref, 6)
+    out["dev_ours"] = None if not np.isfinite(dev_ours) else round(dev_ours, 6)
+    return out
+
+
+def _locate_dip(f, om0, rel_halfwidth, n=41, rounds=2):
+    """argmin of the residual within om0*(1 +- rel_halfwidth), refined."""
+    lo, hi = om0 * (1 - rel_halfwidth), om0 * (1 + rel_halfwidth)
+    best = (None, np.inf)
+    for _ in range(rounds + 1):
+        oms = np.linspace(lo, hi, n)
+        rs = np.array([f(o) for o in oms])
+        if not np.isfinite(rs).any():
+            return best
+        i = int(np.nanargmin(rs))
+        if rs[i] < best[1]:
+            best = (float(oms[i]), float(rs[i]))
+        span = oms[min(i + 2, n - 1)] - oms[max(i - 2, 0)]
+        lo, hi = oms[max(i - 2, 0)], oms[max(i - 2, 0)] + span
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("report_json", help="output of tools/reproduce.py --json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--tol", type=float, default=3e-3)
+    ap.add_argument("--jobs", type=int, default=12)
+    ap.add_argument("--max-per-branch", type=int, default=0,
+                    help="recheck at most N misses per branch (0 = all)")
+    args = ap.parse_args()
+
+    reports = json.load(open(args.report_json))
+    tasks = []
+    for rep in reports:
+        name = rep.get("target")
+        if name not in CASES:
+            continue
+        p = CASES[name]
+        for br in ("sausage", "kink"):
+            mis = rep.get(br, {}).get("misses")
+            if not mis:
+                continue
+            rows = list(zip(mis["omega_ref"], mis["k"], mis["omega_ours"]))
+            if args.max_per_branch:
+                rows = rows[:args.max_per_branch]
+            for om_r, k, om_o in rows:
+                tasks.append((name, p, om_r, k, br, om_o, args.tol))
+
+    print(f"# rechecking {len(tasks)} misses on {args.jobs} processes",
+          file=sys.stderr)
+    with Pool(args.jobs) as pool:
+        results = pool.map(recheck_miss, tasks)
+
+    by_target = {}
+    for (name, *_), res in zip(tasks, results):
+        by_target.setdefault(name, []).append(res)
+    summary = {}
+    for name, rows in by_target.items():
+        counts = {}
+        for r in rows:
+            counts[r["verdict"]] = counts.get(r["verdict"], 0) + 1
+        summary[name] = counts
+        print(json.dumps({"target": name, "verdicts": counts}))
+    if args.out:
+        json.dump({"summary": summary, "detail": by_target},
+                  open(args.out, "w"), indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,7 @@ TARGETS = {
 }
 
 
-def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3):
+def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     matched, total, errs = 0, 0, []
     for om_r, k_r in zip(ref_br.omegas, ref_br.ks):
         v = om_r / k_r
@@ -110,13 +110,20 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3):
             continue
         total += 1
         ours = our_br.omegas[np.isclose(our_br.ks, k_r, atol=1e-9)]
+        hit = False
+        rel = np.inf
+        om_near = np.nan
         if len(ours):
-            rel = float(np.min(np.abs(ours - om_r)) / abs(om_r))
+            i_near = int(np.argmin(np.abs(ours - om_r)))
+            om_near = float(ours[i_near])
+            rel = abs(om_near - om_r) / abs(om_r)
             errs.append(rel)
-            if rel < tol:
-                matched += 1
+            hit = rel < tol
+            matched += hit
         else:
             errs.append(np.inf)
+        if not hit and misses is not None:
+            misses.append((om_r, k_r, rel, om_near))
     errs = np.asarray(errs) if errs else np.asarray([np.nan])
     fin = errs[np.isfinite(errs)]
     return {
@@ -147,7 +154,9 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
             case, grid=dataclasses.replace(case.grid, **spec["grid"]))
     if spec.get("case_extra"):
         case = dataclasses.replace(case, **spec["case_extra"])
-    cfg = SearchConfig(n_omega=n_omega, n_bisect=50, scan_dtype=scan_dtype,
+    # f32 bisection saturates by ~18 iterations (measured bit-identical vs 45)
+    n_bisect = 50 if scan_dtype == "float64" else 18
+    cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype, max_brackets_per_row=8,
                        fuzz_accept_pct=3.0,
                        # with --refine, loosen the f32 filter and re-judge at
@@ -166,9 +175,20 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
         ours = rs.branches.get(bname)
         if ours is None or len(br) == 0:
             continue
+        misses = []
         out[bname] = match_report(br, ours, v_lo, v_hi,
-                                  tol=spec.get("tol", 3e-3))
+                                  tol=spec.get("tol", 3e-3), misses=misses)
         out[bname]["ref_total"] = len(br)
+        if misses:
+            ms = np.asarray(misses)
+            out[bname]["misses"] = {
+                "omega_ref": ms[:, 0].tolist(),
+                "k": ms[:, 1].tolist(),
+                "v_phase": np.round(ms[:, 0] / ms[:, 1], 4).tolist(),
+                "rel_err": [round(e, 5) if np.isfinite(e) else None
+                            for e in ms[:, 2]],
+                "omega_ours": [o if np.isfinite(o) else None
+                               for o in ms[:, 3]]}
     return out
 
 
