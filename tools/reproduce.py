@@ -99,6 +99,33 @@ TARGETS = {
         speeds=(0.85, 0.95, 1.05, 1.15, 1.25, 1.32, 1.40, 1.4899),
         tol=8e-3,
     ),
+    # strong-twist fundamental kink (same engine/windows, v_twist = 0.25)
+    "twist_v025_p1": dict(
+        case=("cylinder_twisted_photospheric",
+              dict(v_twist=0.25, power=1.0, mode=1)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist025_power1_fund_kink.pickle",
+        speeds=(0.85, 0.95, 1.05, 1.15, 1.25, 1.32, 1.40, 1.4899),
+        tol=8e-3,
+    ),
+    # twisted SAUSAGE branches (m=0 engine variant): the generating scripts'
+    # current parameters are v_twist=0.15, power=1.25; fast windows
+    # [c_kink=1.26782, 1.4, c_e=1.5] (`Twisted_photospheric_flow_sausage.py:
+    # 224`), slow windows [0.88..1.0] (`..._sausage_slow.py:232`); first-
+    # acceptance break at P_tol=2.5% as for the kink variants.
+    "twist_v015_p125_sfast": dict(
+        case=("cylinder_twisted_photospheric",
+              dict(v_twist=0.15, power=1.25, mode=0)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power125_sausage_fast.pickle",
+        speeds=(1.26782, 1.33, 1.4, 1.45, 1.4999),
+        tol=8e-3,
+    ),
+    "twist_v015_p125_sslow": dict(
+        case=("cylinder_twisted_photospheric",
+              dict(v_twist=0.15, power=1.25, mode=0)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power125_sausage_slow.pickle",
+        speeds=(0.88, 0.9, 0.92, 0.94, 0.96, 0.98, 0.9999),
+        tol=8e-3,
+    ),
 }
 
 
@@ -127,7 +154,7 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     errs = np.asarray(errs) if errs else np.asarray([np.nan])
     fin = errs[np.isfinite(errs)]
     return {
-        "matched": matched, "total": total,
+        "matched": int(matched), "total": int(total),
         "rate": round(matched / total, 4) if total else None,
         "median_rel_err": float(np.median(fin)) if len(fin) else None,
         "p90_rel_err": float(np.percentile(fin, 90)) if len(fin) else None,
@@ -185,9 +212,9 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
                 "omega_ref": ms[:, 0].tolist(),
                 "k": ms[:, 1].tolist(),
                 "v_phase": np.round(ms[:, 0] / ms[:, 1], 4).tolist(),
-                "rel_err": [round(e, 5) if np.isfinite(e) else None
+                "rel_err": [round(float(e), 5) if np.isfinite(e) else None
                             for e in ms[:, 2]],
-                "omega_ours": [o if np.isfinite(o) else None
+                "omega_ours": [float(o) if np.isfinite(o) else None
                                for o in ms[:, 3]]}
     return out
 
