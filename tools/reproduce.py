@@ -107,22 +107,22 @@ TARGETS = {
         speeds=(0.85, 0.95, 1.05, 1.15, 1.25, 1.32, 1.40, 1.4899),
         tol=8e-3,
     ),
-    # twisted SAUSAGE branches (m=0 engine variant): the generating scripts'
-    # current parameters are v_twist=0.15, power=1.25; fast windows
-    # [c_kink=1.26782, 1.4, c_e=1.5] (`Twisted_photospheric_flow_sausage.py:
-    # 224`), slow windows [0.88..1.0] (`..._sausage_slow.py:232`); first-
-    # acceptance break at P_tol=2.5% as for the kink variants.
-    "twist_v015_p125_sfast": dict(
+    # twisted SAUSAGE branches (m=0 engine variant), v_twist=0.15 power=1
+    # pickles; fast windows [c_kink=1.26782, 1.4, c_e=1.5]
+    # (`Twisted_photospheric_flow_sausage.py:224`), slow windows [0.88..1.0]
+    # (`..._sausage_slow.py:232`); first-acceptance break at P_tol=2.5% as for
+    # the kink variants.
+    "twist_v015_p1_sfast": dict(
         case=("cylinder_twisted_photospheric",
-              dict(v_twist=0.15, power=1.25, mode=0)),
-        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power125_sausage_fast.pickle",
+              dict(v_twist=0.15, power=1.0, mode=0)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power1_sausage_fast.pickle",
         speeds=(1.26782, 1.33, 1.4, 1.45, 1.4999),
         tol=8e-3,
     ),
-    "twist_v015_p125_sslow": dict(
+    "twist_v015_p1_sslow": dict(
         case=("cylinder_twisted_photospheric",
-              dict(v_twist=0.15, power=1.25, mode=0)),
-        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power125_sausage_slow.pickle",
+              dict(v_twist=0.15, power=1.0, mode=0)),
+        pickle=f"{REF}/Cylinder/Rotational flow/Photospheric/Example data/Cylindrical_photospheric_vtwist015_power1_sausage_slow.pickle",
         speeds=(0.88, 0.9, 0.92, 0.94, 0.96, 0.98, 0.9999),
         tol=8e-3,
     ),
