@@ -129,6 +129,16 @@ class GridConfig:
     n_omega_ladder: int = 256    # omega seeds per (k, band) cell
     n_bisect: int = 60           # bisection iterations per bracket
     n_newton: int = 12           # Newton polish iterations (complex path)
+    # omega-seed placement within each speed band:
+    #   "uniform"   - even spacing (the reference's linspace seeding,
+    #                 `multiprocessor_Inhomogeneous_method.py:793`)
+    #   "chebyshev" - cos-map clustering toward BOTH band edges. Band edges
+    #                 are characteristic speeds (cT, c, vA, c_kink) where
+    #                 body-mode branches accumulate geometrically; quadratic
+    #                 edge clustering resolves the high-order members of those
+    #                 families at the same seed count (near-edge spacing
+    #                 ~ width/n^2 instead of width/n).
+    ladder_shape: str = "uniform"
 
 
 @dataclasses.dataclass(frozen=True)

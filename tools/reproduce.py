@@ -51,6 +51,10 @@ TARGETS = {
         pickle=f"{REF}/Slab/Non uniform flow/Example data/flow_width1_coronal.pickle",
         speeds=(0.02, 0.06, 0.1, 0.15, 0.199, 0.21, 0.28, 0.4, 0.55, 0.7,
                 0.85, 1.0, 1.15, 1.35, 1.55, 1.8, 2.05, 2.3, 2.499),
+        # the remaining kink misses sit INSIDE the flow continuum
+        # v in (U(1), U(0)) - critical-layer artifacts of the reference's
+        # LSODA, not discrete eigenmodes; see REPRODUCTION.md. Chebyshev
+        # seeding / deeper bracket budgets measurably do not recover them.
         grid=dict(exterior_method="numeric", exterior_wavelengths=3.0),
         # the generating file ships the LEGACY shear form D(x)
         # (`flow_multiprocessor_coronal.py:317-318`)
@@ -184,7 +188,8 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     # f32 bisection saturates by ~18 iterations (measured bit-identical vs 45)
     n_bisect = 50 if scan_dtype == "float64" else 18
     cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
-                       polish_dtype=scan_dtype, max_brackets_per_row=8,
+                       polish_dtype=scan_dtype,
+                       max_brackets_per_row=spec.get("max_brackets", 8),
                        fuzz_accept_pct=3.0,
                        # with --refine, loosen the f32 filter and re-judge at
                        # the f64 zero (needle quasi-resonances; see
