@@ -142,6 +142,13 @@ class SearchConfig:
     # omega with <p_tol% pressure mismatch - in continuum bands this yields
     # acceptance swaths rather than discrete roots). None disables.
     fuzz_accept_pct: Optional[float] = None
+    # Evaluate fuzz acceptance only on every `fuzz_stride`-th ladder point.
+    # The reference records swath entries AT its own scan seeds, so parity
+    # needs the fuzz grid to be the reference's seed grid while the bracket
+    # search keeps the full-resolution ladder: with uniform ladders and
+    # n_omega = stride*(N_ref - 1) + 1, the strided subsample coincides
+    # exactly with the reference's N_ref-point linspace over the band.
+    fuzz_stride: int = 1
 
 
 _PIPELINE_CACHE: dict = {}
@@ -179,8 +186,10 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         # .py:503-508` break; `Cylinder_method_flow_testing.py` kink loop), so
         # band-edge seeds at characteristic speeds (e.g. v = c_kink) become
         # recorded roots even though the residual still decreases beyond them.
-        acc = valid & jnp.isfinite(mism) & (mism < cfg.fuzz_accept_pct)
-        big = jnp.where(jnp.isfinite(mism), mism, jnp.inf)
+        sub = slice(None, None, cfg.fuzz_stride)
+        om_f, mism_f, valid_f = omegas[:, sub], mism[:, sub], valid[:, sub]
+        acc = valid_f & jnp.isfinite(mism_f) & (mism_f < cfg.fuzz_accept_pct)
+        big = jnp.where(jnp.isfinite(mism_f), mism_f, jnp.inf)
         left = jnp.concatenate([jnp.full_like(big[:, :1], jnp.inf),
                                 big[:, :-1]], axis=1)
         right = jnp.concatenate([big[:, 1:],
@@ -188,13 +197,13 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         acc_left = jnp.concatenate(
             [jnp.zeros_like(acc[:, :1]), acc[:, :-1]], axis=1)
         keep = acc & ((big <= left) & (big <= right) | ~acc_left)
-        n_omega = omegas.shape[1]
+        n_fuzz = om_f.shape[1]
         fuzz = PolishResult(
-            omega=omegas.reshape(-1),
-            k=jnp.repeat(ks, n_omega),
-            mismatch=mism.reshape(-1),
+            omega=om_f.reshape(-1),
+            k=jnp.repeat(ks, n_fuzz),
+            mismatch=mism_f.reshape(-1),
             mask=keep.reshape(-1),
-            mode=None if modes is None else jnp.repeat(modes, n_omega))
+            mode=None if modes is None else jnp.repeat(modes, n_fuzz))
         return pr, fuzz
 
     _PIPELINE_CACHE[key] = pipeline
@@ -235,7 +244,8 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
                       mode=cut(pr.mode, keep))
     if fuzz is None:
         return pr
-    kf = rows * n_omega
+    n_fuzz = -(-n_omega // cfg.fuzz_stride)   # ceil: strided subsample width
+    kf = rows * n_fuzz
 
     def cat(a, b, n):
         if a is None or b is None:

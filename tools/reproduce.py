@@ -86,9 +86,15 @@ TARGETS = {
     "cyl_flow_1": dict(
         case=("cylinder_flow_coronal", dict(U=0.05, width=1.0)),
         pickle=f"{REF}/Cylinder/Non-uniform flow/Coronal/Example data/Cylindrical_coronal_flow_1.pickle",
-        speeds=(-4.999, -4.5, -4.0, -3.5, -3.0, -2.75325, -2.5, -2.0, -1.5,
-                -1.0, -0.8944, -0.75, -0.6, -0.51, 0.51, 0.6, 0.75, 0.8944,
-                1.0, 1.25, 1.5, 2.0, 2.5, 2.75325, 3.0, 3.5, 4.0, 4.5, 4.999),
+        # the generating file's OWN band edges (`Cylinder_method_flow_testing
+        # .py:231`, mirrored negative list `:228`), so the strided fuzz grid
+        # reproduces its 70-seed scans (`:1153`) - swath entries accepted at
+        # xi_tol=6% (`:530`) are recorded AT those seeds, up to band/70 from
+        # the residual's true zero. n_omega = 22*69+1 keeps 22x the
+        # reference's bracketing resolution on the same grid.
+        speeds=(-4.999, -2.75325, -2.0, -1.0, -0.8944, -0.51,
+                0.51, 0.8944, 1.0, 2.0, 2.75325, 4.999),
+        n_omega=1519, fuzz_stride=22, fuzz_pct=6.0,
     ),
     # The twisted scripts accept the FIRST scanned omega whose xi residual is
     # under P_tol=2.5% (`Twisted_photospheric_nonlinear_flow_kink_fast.py:
@@ -174,6 +180,7 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     from eigensolver_tpu.sweep import run_case
 
     fac, kw = spec["case"]
+    n_omega = spec.get("n_omega", n_omega)
     case = getattr(case_mod, fac)(**kw)
     ref = load_pickle(spec["pickle"])
     k_ref = np.unique(np.concatenate(
@@ -190,7 +197,8 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype,
                        max_brackets_per_row=spec.get("max_brackets", 8),
-                       fuzz_accept_pct=3.0,
+                       fuzz_accept_pct=spec.get("fuzz_pct", 3.0),
+                       fuzz_stride=spec.get("fuzz_stride", 1),
                        # with --refine, loosen the f32 filter and re-judge at
                        # the f64 zero (needle quasi-resonances; see
                        # SearchConfig.accept_pct_refined)
