@@ -184,6 +184,34 @@ def cylinder_twisted_photospheric(v_twist: float = 0.1, power: float = 1.0,
     )
 
 
+def cylinder_twisted_magnetic(B_twist: float = 0.1, v_twist: float = 0.0,
+                              power: float = 1.0, mode: int = 1) -> CaseConfig:
+    """Magnetic-twist variant of the rotational-flow tube: azimuthal field
+    B_phi(r) = B_twist * r with pressure-balanced longitudinal field
+    B_z = B_0 sqrt(1 - 2 B_phi^2/B_0^2) (`Twisted_photospheric_flow_sausage.py:
+    167-173`, the file's kept-but-disabled `B_twist*r` branch). A LINEAR
+    B_phi makes the magnetic terms of the radial force balance cancel
+    identically (-B_phi B_phi' + B_phi^2/r = 0), so the equilibrium stays
+    exact with the flow-balanced P_i(r). Optional rotational flow v_phi =
+    v_twist r^power on top reproduces the combined twist configuration."""
+    rg = Regime(c_i0=1.0, vA_i0=2.0, c_e=1.5, vA_e=0.5)
+    return CaseConfig(
+        name=(f"cylinder_twisted_magnetic_B{B_twist:g}_v{v_twist:g}"
+              f"_p{power:g}_m{mode}"),
+        geometry=Geometry.CYLINDER,
+        regime=rg,
+        density_profile=ProfileConfig(kind=ProfileKind.UNIFORM),
+        twist_profile=ProfileConfig(kind=ProfileKind.POWER_LAW,
+                                    amplitude=v_twist, power=power),
+        b_twist_profile=ProfileConfig(kind=ProfileKind.POWER_LAW,
+                                      amplitude=B_twist, power=1.0),
+        k_min=0.15, k_max=4.0, n_k=60,
+        speeds=(0.9, 1.0, 1.1, 1.2, 1.3, 1.4),
+        modes=(mode,),
+        grid=GridConfig(axis_epsilon=0.01, n_interior=2048),
+    )
+
+
 ALL_CASES = {
     "slab_density_photospheric": slab_density_photospheric,
     "slab_density_coronal": slab_density_coronal,
@@ -194,4 +222,5 @@ ALL_CASES = {
     "cylinder_density_photospheric": cylinder_density_photospheric,
     "cylinder_flow_coronal": cylinder_flow_coronal,
     "cylinder_twisted_photospheric": cylinder_twisted_photospheric,
+    "cylinder_twisted_magnetic": cylinder_twisted_magnetic,
 }

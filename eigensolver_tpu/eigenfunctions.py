@@ -66,28 +66,44 @@ class RadialEigenfunction:
 def reconstruct_slab(case: CaseConfig, parity: int, omega: float, k: float,
                      n_interior: int = 1024, n_exterior: int = 256,
                      exterior_extent: float = 2.0) -> RadialEigenfunction:
-    """vx(x), PT(x), xi(x) on [-x_ext, +x_ext] for a slab root."""
+    """vx(x), PT(x), xi(x) on [-x_ext, +x_ext] for a slab root.
+
+    Uses the SAME interior form as the dispersion path: the self-adjoint flux
+    form for density cases, the D(x)/coeff(x) shear form when the case has a
+    non-uniform flow (`flow_multiprocessor_coronal.py:317-356`) - so the
+    reconstructed mode is the eigenfunction of the equation whose determinant
+    the sweep zeroed, not of a different ODE.
+    """
     ph = SlabPhysics.from_case(case)
     eq = ph.eq
     omega = float(omega)
     k = float(k)
-
-    def rhs(x, y):
-        vx, w = y[0], y[1]
-        F = ph.interior_F(x, omega, k)
-        m0 = ph.interior_m0(x, omega, k)
-        return jnp.stack([w / F, F * m0 * vx])
-
-    F0 = float(ph.interior_F(jnp.asarray(0.0), omega, k))
-    y0 = jnp.array([0.0, F0]) if parity == 0 else jnp.array([1.0, 0.0])
-    _, traj = rk4_trajectory(rhs, y0, 0.0, 1.0, n_interior)
-    traj = np.asarray(traj)
     x_half = np.linspace(0.0, 1.0, n_interior + 1)
-    vx_half = traj[:, 0]
-    w_half = traj[:, 1]
-
     Om = omega - k * np.asarray(eq.U_i(jnp.asarray(x_half)))
-    PT_half = w_half / Om
+
+    if ph.has_flow:
+        # shear form, state (vx, vx'); PT = (F/Om) vx' (the real Gaussian-flow
+        # solver's interface pressure, `flow_multiprocessor_coronal.py:356` -
+        # the -kU'/Om shear-pressure correction is the complex solver's
+        # variant and is omitted here exactly as in make_dispersion)
+        rhs = ph.make_shear_rhs(omega, k)
+        y0 = jnp.array([0.0, 1.0]) if parity == 0 else jnp.array([1.0, 0.0])
+        _, traj = rk4_trajectory(rhs, y0, 0.0, 1.0, n_interior)
+        traj = np.asarray(traj)
+        vx_half = traj[:, 0]
+        dvx_half = traj[:, 1]
+        Fv = np.asarray(jax.vmap(
+            lambda x: ph.interior_F(x, omega, k))(jnp.asarray(x_half)))
+        PT_half = (Fv / Om) * dvx_half
+    else:
+        rhs = ph.make_flux_rhs(omega, k)
+        F0 = float(ph.interior_F(jnp.asarray(0.0), omega, k))
+        y0 = jnp.array([0.0, F0]) if parity == 0 else jnp.array([1.0, 0.0])
+        _, traj = rk4_trajectory(rhs, y0, 0.0, 1.0, n_interior)
+        traj = np.asarray(traj)
+        vx_half = traj[:, 0]
+        w_half = traj[:, 1]
+        PT_half = w_half / Om
 
     # mirror by parity: vx odd (sausage) / even (kink); PT has opposite parity
     sgn = -1.0 if parity == 0 else 1.0

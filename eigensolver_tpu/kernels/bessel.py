@@ -125,3 +125,45 @@ def kve_ratio_batch(m: int, z: jnp.ndarray, use_pallas: bool | None = None):
         r0, r1 = kve_ratio_pallas(z)
         return r0 if m == 0 else r1
     return special.kve_ratio(m, z)
+
+
+# ---------------------------------------------------------------------------
+# Hot-path wrapper: scalar semantics, Pallas under vmap
+# ---------------------------------------------------------------------------
+
+def _hot_dispatch(z):
+    """Which implementation a BATCHED kve_ratio_both call should use.
+    Split out so tests can monkeypatch it (e.g. force the Pallas kernel in
+    interpret mode on CPU)."""
+    if jnp.iscomplexobj(z) or jax.default_backend() == "cpu":
+        return "jax"
+    if z.dtype != jnp.float32:
+        return "jax"           # the VMEM tile is f32; f64 stays pure-JAX
+    return "pallas"
+
+
+from jax import custom_batching as _custom_batching
+
+
+@_custom_batching.custom_vmap
+def kve_ratio_both_hot(z):
+    """(K_0'/K_0, K_1'/K_1) with scalar semantics identical to
+    `special.kve_ratio_both`, but whose vmap rule routes the whole batch
+    through the fused Pallas kernel on TPU. This is what puts the kernel in
+    the cylinder dispersion hot path (`physics/cylinder.py` exterior,
+    replacing the reference's numeric exterior integration,
+    `Density_cylinder.py:628-634`) while the physics code stays written
+    per-candidate."""
+    return special.kve_ratio_both(z)
+
+
+@kve_ratio_both_hot.def_vmap
+def _kve_ratio_both_vmap_rule(axis_size, in_batched, z):
+    del axis_size, in_batched
+    if _hot_dispatch(z) == "pallas":
+        shape = z.shape
+        r0, r1 = kve_ratio_pallas(z.reshape(-1))
+        r0, r1 = r0.reshape(shape), r1.reshape(shape)
+    else:
+        r0, r1 = special.kve_ratio_both(z)
+    return (r0, r1), (True, True)

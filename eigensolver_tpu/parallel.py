@@ -29,19 +29,49 @@ from .sweep import (MODE_NAMES, SweepStats, build_ladders,
                     make_dispersion_moded)
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-controller (multi-host) initialisation.
+
+    Call once per process before any other JAX API. Arguments default to the
+    `EIGENSOLVER_COORDINATOR` / `EIGENSOLVER_NUM_PROCESSES` /
+    `EIGENSOLVER_PROCESS_ID` environment variables (so launchers can export
+    them without touching user code); on TPU pods with no env set,
+    `jax.distributed.initialize()` autodetects from the TPU metadata. Returns
+    True when a multi-process runtime was initialised, False when the env
+    requests none (single-host run).
+
+    This is the capability replacing the reference's single-node 1800-process
+    fan-out (`Density_cylinder.py:1126-1153`): after initialisation,
+    `jax.devices()` spans all hosts, `make_mesh()` builds a global mesh, and
+    `run_case_sharded` runs one SPMD program over it - candidate-grid gathers
+    ride ICI within a slice and DCN across hosts.
+    """
+    import os
+    coordinator = coordinator or os.environ.get("EIGENSOLVER_COORDINATOR")
+    num_processes = num_processes if num_processes is not None else \
+        _env_int("EIGENSOLVER_NUM_PROCESSES")
+    process_id = process_id if process_id is not None else \
+        _env_int("EIGENSOLVER_PROCESS_ID")
+    if coordinator is None and num_processes is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def _env_int(name: str) -> Optional[int]:
+    import os
+    v = os.environ.get(name)
+    return None if v is None else int(v)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.asarray(devs[:n]).reshape(n), axis_names=(axis,))
-
-
-def _pad_rows(arr: np.ndarray, multiple: int):
-    rows = arr.shape[0]
-    pad = (-rows) % multiple
-    if pad == 0:
-        return arr, rows
-    pad_block = np.repeat(arr[-1:], pad, axis=0)
-    return np.concatenate([arr, pad_block], axis=0), rows
 
 
 def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
@@ -82,9 +112,19 @@ def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
 
     row_sharding = NamedSharding(mesh, P(axis, None))
     k_sharding = NamedSharding(mesh, P(axis))
-    om_dev = jax.device_put(jnp.asarray(omegas_f, scan_dt), row_sharding)
-    ks_dev = jax.device_put(jnp.asarray(ks_f, scan_dt), k_sharding)
-    md_dev = jax.device_put(jnp.asarray(modes_f, scan_dt), k_sharding)
+
+    def put(arr, sharding):
+        arr = np.asarray(arr, jnp.dtype(scan_dt))
+        if jax.process_count() > 1:
+            # multi-controller: every process holds the same full host array;
+            # each contributes only its addressable shards
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return jax.device_put(jnp.asarray(arr), sharding)
+
+    om_dev = put(omegas_f, row_sharding)
+    ks_dev = put(ks_f, k_sharding)
+    md_dev = put(modes_f, k_sharding)
 
     disp_scan = make_dispersion_moded(case, scan_dt)
     disp_polish = (disp_scan if polish_dt == scan_dt
@@ -94,6 +134,14 @@ def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
     t0 = time.time()
     pr = search_rows(disp_scan, disp_polish, om_dev, ks_dev, search,
                      row_bucket=n_dev, modes=md_dev)
+    if jax.process_count() > 1:
+        # multi-controller: the result shards live on different hosts; one
+        # DCN all-gather replicates them so every process holds the full root
+        # set (replaces the reference's Queue drain, SURVEY.md P2)
+        from jax.experimental import multihost_utils
+        pr = type(pr)(*[None if x is None
+                        else multihost_utils.process_allgather(x, tiled=True)
+                        for x in pr])
     om, kk, mm, md = collect(pr)
     branches: Dict[str, RootBranch] = {}
     for mode in modes:

@@ -215,11 +215,16 @@ class CylinderPhysics:
             m_e = self.exterior_m(omega, k)
             if gr.exterior_method == "bessel":
                 # exact: P_e(r) = K_m(sqrt(m_e) r); logarithmic derivative at
-                # r=1 from special.kve_ratio (complex-capable, Re sqrt >= 0)
-                from ..special import kve_ratio_both
+                # r=1 (complex-capable, Re sqrt >= 0). The _hot wrapper has
+                # scalar semantics here but routes the whole vmapped sweep
+                # batch through the fused Pallas TPU kernel
+                # (kernels/bessel.py) - the framework's custom-kernel hot
+                # path, replacing the reference's numeric exterior
+                # integration (`Density_cylinder.py:628-634`).
+                from ..kernels.bessel import kve_ratio_both_hot
                 sq = jnp.sqrt(m_e.astype(cdtype)) if case.complex_omega \
                     else jnp.sqrt(jnp.maximum(m_e, 1e-300))
-                r0, r1_ = kve_ratio_both(sq)
+                r0, r1_ = kve_ratio_both_hot(sq)
                 dP_e = sq * jnp.where(is_sausage, r0, r1_)
                 P_e = jnp.ones_like(dP_e)
             else:

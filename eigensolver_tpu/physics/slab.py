@@ -108,6 +108,83 @@ class SlabPhysics:
         cT2 = c2 * a2 / (c2 + a2)
         return (k**2 * c2 - Om**2) * (k**2 * a2 - Om**2) / ((c2 + a2) * (k**2 * cT2 - Om**2))
 
+    # -- interior ODE right-hand sides (shared by the dispersion function and
+    #    eigenfunction reconstruction - same forms, one definition) -----------
+
+    @property
+    def has_flow(self) -> bool:
+        case = self.case
+        return (case.regime.U_i0 != 0.0 or case.regime.U_e != 0.0
+                or case.flow_profile.kind.value != "uniform")
+
+    def make_flux_rhs(self, omega, k):
+        """Self-adjoint flux form, state (vx, w = F vx') - density cases.
+
+        The products are formed ANALYTICALLY, not as F and m0 separately:
+        1/F and F*m0 = rho (k^2 vA^2 - Om^2) are regular at the sound point
+        omega = k c_i(x*) where F and m0 individually blow up - evaluating
+        them separately poisons RK4 stages near the resonance and loses the
+        slow-body modes the reference finds there (its LSODA steps over the
+        pole). Only the cusp continuum omega = k cT_i(x) stays genuinely
+        singular, exactly as in the physics.
+        """
+        eq = self.eq
+
+        def rhs(x, y):
+            vx, w = y[0], y[1]
+            Om = omega - k * eq.U_i(x)
+            rho = eq.rho_i(x)
+            c2 = eq.c_i(x) ** 2
+            a2 = eq.vA_i(x) ** 2
+            cT2 = c2 * a2 / (c2 + a2)
+            inv_F = (k**2 * c2 - Om**2) / (
+                rho * (c2 + a2) * (k**2 * cT2 - Om**2))
+            w_rate = rho * (k**2 * a2 - Om**2)
+            return jnp.stack([w * inv_F, w_rate * vx])
+
+        return rhs
+
+    def make_shear_rhs(self, omega, k):
+        """Direct (vx, vx') form with the shear terms D(x), coeff(x) - the
+        non-uniform-flow interior equation vx'' = -D vx' - coeff vx
+        (`flow_multiprocessor_coronal.py:317-356`; corrected-D variant
+        `flow_multiprocessor_complex_coronal.py:381-385`, selected by
+        case.shear_D_legacy)."""
+        case, eq = self.case, self.eq
+        dU = elementwise_grad(eq.U_i)
+        ddU = elementwise_grad(dU)
+
+        def rhs(x, y):
+            vx, dvx = y[0], y[1]
+            Om = omega - k * eq.U_i(x)
+            rgl = eq.regime
+            c2 = rgl.c_i0 ** 2
+            a2 = rgl.vA_i0 ** 2
+            cT2 = c2 * a2 / (c2 + a2)
+            dUx = dU(x)
+            ddUx = ddU(x)
+            m0 = ((k**2 * c2 - Om**2) * (k**2 * a2 - Om**2)
+                  / ((c2 + a2) * (k**2 * cT2 - Om**2)))
+            if case.shear_D_legacy:
+                # legacy shear coefficient, as shipped in the real
+                # Gaussian-flow solver (`flow_multiprocessor_coronal.py:
+                # 317-318`) - the form that generated the flow pickles
+                Dx = (2.0 * k * dUx
+                      * ((Om**2 - k**2 * cT2)
+                         + (k**4 * cT2 * c2)
+                         / ((c2 + a2) * (Om**2 - k**2 * cT2)))
+                      / (Om * (Om**2 - k**2 * c2)))
+            else:
+                # corrected D(x) (`flow_multiprocessor_complex_coronal.py:
+                # 381-385`, which supersedes the legacy form there)
+                Dx = (2.0 * k * dUx
+                      * (Om**2 / (Om**2 - k**2 * c2)
+                         - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
+            coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
+            return jnp.stack([dvx, -Dx * dvx - coeff * vx])
+
+        return rhs
+
     # -- dispersion function -------------------------------------------------
 
     def make_dispersion(self, parity: int | None = None, dtype=jnp.float64,
@@ -128,13 +205,11 @@ class SlabPhysics:
         """
         case, eq = self.case, self.eq
         n_steps = case.grid.n_interior
-        has_flow = case.regime.U_i0 != 0.0 or case.regime.U_e != 0.0 or \
-            case.flow_profile.kind.value != "uniform"
+        has_flow = self.has_flow
         if include_shear_pressure is None:
             include_shear_pressure = case.complex_omega
 
         dU = elementwise_grad(eq.U_i)
-        ddU = elementwise_grad(dU)
 
         cdtype = jnp.result_type(dtype, jnp.complex64) if case.complex_omega else dtype
 
@@ -150,26 +225,7 @@ class SlabPhysics:
 
             if not has_flow:
                 # --- self-adjoint flux form: state (vx, w = F vx') ----------
-                # The products are formed ANALYTICALLY, not as F and m0
-                # separately: 1/F and F*m0 = rho (k^2 vA^2 - Om^2) are regular
-                # at the sound point omega = k c_i(x*) where F and m0
-                # individually blow up - evaluating them separately poisons
-                # RK4 stages near the resonance and loses the slow-body modes
-                # the reference finds there (its LSODA steps over the pole).
-                # Only the cusp continuum omega = k cT_i(x) stays genuinely
-                # singular, exactly as in the physics.
-                def rhs(x, y):
-                    vx, w = y[0], y[1]
-                    Om = omega - k * eq.U_i(x)
-                    rho = eq.rho_i(x)
-                    c2 = eq.c_i(x) ** 2
-                    a2 = eq.vA_i(x) ** 2
-                    cT2 = c2 * a2 / (c2 + a2)
-                    inv_F = (k**2 * c2 - Om**2) / (
-                        rho * (c2 + a2) * (k**2 * cT2 - Om**2))
-                    w_rate = rho * (k**2 * a2 - Om**2)
-                    return jnp.stack([w * inv_F, w_rate * vx])
-
+                rhs = self.make_flux_rhs(omega, k)
                 F0 = self.interior_F(jnp.asarray(0.0, dtype), omega, k)
                 # sausage (par=0): vx odd => y0 = (0, F0); kink: (1, 0)
                 y0 = jnp.stack([par * jnp.ones_like(F0), (1.0 - par) * F0])
@@ -181,35 +237,7 @@ class SlabPhysics:
                 PT_i = w_b / Om_i          # PT = F vx' / Omega = w / Omega
             else:
                 # --- direct (vx, vx') form with shear terms -----------------
-                def rhs(x, y):
-                    vx, dvx = y[0], y[1]
-                    Om = omega - k * eq.U_i(x)
-                    rgl = eq.regime
-                    c2 = rgl.c_i0 ** 2
-                    a2 = rgl.vA_i0 ** 2
-                    cT2 = c2 * a2 / (c2 + a2)
-                    dUx = dU(x)
-                    ddUx = ddU(x)
-                    m0 = ((k**2 * c2 - Om**2) * (k**2 * a2 - Om**2)
-                          / ((c2 + a2) * (k**2 * cT2 - Om**2)))
-                    if case.shear_D_legacy:
-                        # legacy shear coefficient, as shipped in the real
-                        # Gaussian-flow solver (`flow_multiprocessor_coronal.py:
-                        # 317-318`) - the form that generated the flow pickles
-                        Dx = (2.0 * k * dUx
-                              * ((Om**2 - k**2 * cT2)
-                                 + (k**4 * cT2 * c2)
-                                 / ((c2 + a2) * (Om**2 - k**2 * cT2)))
-                              / (Om * (Om**2 - k**2 * c2)))
-                    else:
-                        # corrected D(x) (`flow_multiprocessor_complex_coronal.py:
-                        # 381-385`, which supersedes the legacy form there)
-                        Dx = (2.0 * k * dUx
-                              * (Om**2 / (Om**2 - k**2 * c2)
-                                 - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
-                    coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
-                    return jnp.stack([dvx, -Dx * dvx - coeff * vx])
-
+                rhs = self.make_shear_rhs(omega, k)
                 parc = par.astype(cdtype)
                 y0 = jnp.stack([parc, 1.0 - parc])
                 yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),

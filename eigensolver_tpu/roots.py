@@ -77,21 +77,34 @@ def dedup_roots(omegas: np.ndarray, ks: np.ndarray, rel_tol: float = 1e-4,
 
 def dedup_complex_roots(omegas: np.ndarray, ks: np.ndarray,
                         rel_tol: float = 1e-4):
-    """Dedup complex roots: same k, complex distance within rel_tol relative."""
+    """Dedup complex roots: same k, complex distance within rel_tol relative.
+
+    Greedy in sorted order, but vectorised per ANCHOR (a kept root): each
+    anchor removes its whole duplicate window with one slice comparison, so
+    the cost is O(n_unique * window) rather than a per-candidate Python loop
+    - after a Newton sweep most of the batch collapses onto few roots, which
+    is exactly the regime where the old O(n^2) loop was quadratic."""
     if len(omegas) == 0:
         return omegas, ks
     order = np.lexsort((omegas.imag, omegas.real, ks))
     om, kk = omegas[order], ks[order]
-    keep = np.ones(len(om), dtype=bool)
-    for i in range(len(om)):
+    n = len(om)
+    keep = np.ones(n, dtype=bool)
+    i = 0
+    while i < n:
         if not keep[i]:
+            i += 1
             continue
-        for j in range(i + 1, len(om)):
-            if kk[j] != kk[i] or om[j].real - om[i].real > rel_tol * max(
-                    abs(om[i]), 1e-30) * 4:
-                break
-            if abs(om[j] - om[i]) <= rel_tol * max(abs(om[i]), 1e-30):
-                keep[j] = False
+        tol = rel_tol * max(abs(om[i]), 1e-30)
+        # duplicate window: same k (kk is the primary sort key), then Re
+        # within 4*tol (Re is sorted within each k group)
+        k_end = i + 1 + int(np.searchsorted(kk[i + 1:], kk[i], side="right"))
+        j_hi = i + 1 + int(np.searchsorted(om.real[i + 1:k_end],
+                                           om[i].real + 4.0 * tol,
+                                           side="right"))
+        w = slice(i + 1, j_hi)
+        keep[w] &= np.abs(om[w] - om[i]) > tol
+        i += 1
     return om[keep], kk[keep]
 
 

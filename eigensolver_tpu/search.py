@@ -33,6 +33,8 @@ class BracketBatch(NamedTuple):
     k: jnp.ndarray         # (B,) wavenumber of the cell
     mask: jnp.ndarray      # (B,) bool - real bracket vs padding
     mode: Optional[jnp.ndarray] = None  # (B,) mode id when fused sweeps
+    n_in_row: Optional[jnp.ndarray] = None  # (rows,) sign changes found per row
+    #   (before the top-K budget cut - saturation diagnostic)
 
 
 class PolishResult(NamedTuple):
@@ -69,15 +71,28 @@ def ladder_scan(disp_batch: Callable, omegas: jnp.ndarray, ks: jnp.ndarray,
 
 def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
                   valid: jnp.ndarray, max_per_row: int,
-                  modes: Optional[jnp.ndarray] = None) -> BracketBatch:
-    """Select up to `max_per_row` sign-change brackets per ladder row."""
+                  modes: Optional[jnp.ndarray] = None,
+                  pole_det_factor: Optional[float] = None) -> BracketBatch:
+    """Select up to `max_per_row` sign-change brackets per ladder row.
+
+    pole_det_factor: when set, drop sign changes whose SMALLER endpoint |det|
+    exceeds `pole_det_factor` x the row's median finite |det| - at a pole
+    crossing both endpoints are huge relative to the row, while at a root at
+    least one endpoint is small. This spends no polish budget on obvious pole
+    crossings; final arbitration remains the residual-acceptance filter in
+    `polish`. None disables the bound (every sign change is a candidate).
+    """
     finite = jnp.isfinite(det)
     ok = valid & finite
     neg = jnp.signbit(det)
     is_br = (neg[:, :-1] != neg[:, 1:]) & ok[:, :-1] & ok[:, 1:]
-    # Bound the local det magnitude to suppress obvious pole crossings early:
-    # at a pole both endpoint |det| are huge relative to the row median.
-    # (Final arbitration is the residual-acceptance filter in `polish`.)
+    if pole_det_factor is not None:
+        absd = jnp.abs(det)
+        med = jnp.nanmedian(jnp.where(ok, absd, jnp.nan), axis=1,
+                            keepdims=True)
+        lo_mag = jnp.minimum(absd[:, :-1], absd[:, 1:])
+        is_br = is_br & (lo_mag <= pole_det_factor * med)
+    n_in_row = jnp.sum(is_br, axis=1)
     order = jnp.argsort(~is_br, axis=1, stable=True)[:, :max_per_row]
     rows = jnp.arange(omegas.shape[0])[:, None]
     lo = omegas[rows, order]
@@ -87,7 +102,8 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
     mcol = (None if modes is None
             else jnp.broadcast_to(modes[:, None], lo.shape).reshape(-1))
     return BracketBatch(lo=lo.reshape(-1), hi=hi.reshape(-1),
-                        k=kcol.reshape(-1), mask=mask.reshape(-1), mode=mcol)
+                        k=kcol.reshape(-1), mask=mask.reshape(-1), mode=mcol,
+                        n_in_row=n_in_row)
 
 
 def bisect(disp_batch: Callable, br: BracketBatch, n_iter: int,
@@ -146,9 +162,20 @@ class SearchConfig:
     # The reference records swath entries AT its own scan seeds, so parity
     # needs the fuzz grid to be the reference's seed grid while the bracket
     # search keeps the full-resolution ladder: with uniform ladders and
-    # n_omega = stride*(N_ref - 1) + 1, the strided subsample coincides
-    # exactly with the reference's N_ref-point linspace over the band.
+    # n_omega = stride*(N_ref - 1) + 1, the strided subsample falls on the
+    # reference's N_ref-point linspace over the band UP TO the ladder's
+    # edge_shrink offset (build_ladders shrinks each band edge by 1e-3 of the
+    # band width to dodge characteristic-speed singularities, so strided
+    # points sit within ~1e-3 of band width from the exact reference seeds -
+    # inside the percent-level acceptance tolerances this mode emulates).
     fuzz_stride: int = 1
+    # Restrict fuzz acceptance to |phase speed| ranges the reference actually
+    # scanned: tuple of (lo, hi) bounds on |omega/k|. Guard band edges our
+    # ladder needs (e.g. around v = 0) can otherwise record swath entries in
+    # bands the reference never seeded. None = fuzz everywhere.
+    fuzz_v_ranges: Optional[tuple] = None
+    # Pole pre-filter for the bracket stage (see find_brackets); None = off.
+    pole_det_factor: Optional[float] = None
 
 
 _PIPELINE_CACHE: dict = {}
@@ -172,13 +199,14 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
     def pipeline(omegas, ks, modes):
         det, valid, mism = ladder_scan(disp_batch_scan, omegas, ks, modes)
         br = find_brackets(omegas, ks, det, valid, cfg.max_brackets_per_row,
-                           modes)
+                           modes, pole_det_factor=cfg.pole_det_factor)
+        n_saturated = jnp.sum(br.n_in_row > cfg.max_brackets_per_row)
         pr = bisect(disp_batch_polish, br, cfg.n_bisect, dtype=polish_dt)
         accepted = (pr.mask & jnp.isfinite(pr.mismatch)
                     & (pr.mismatch < cfg.accept_pct))
         pr = pr._replace(mask=accepted)
         if cfg.fuzz_accept_pct is None:
-            return pr, None
+            return pr, None, n_saturated
         # reference-parity swath acceptance: keep local minima of the
         # residual among scan points passing the tolerance, PLUS the first
         # point of each under-tolerance run - the reference breaks out of the
@@ -197,6 +225,12 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         acc_left = jnp.concatenate(
             [jnp.zeros_like(acc[:, :1]), acc[:, :-1]], axis=1)
         keep = acc & ((big <= left) & (big <= right) | ~acc_left)
+        if cfg.fuzz_v_ranges is not None:
+            v = jnp.abs(om_f) / jnp.abs(ks)[:, None]
+            in_rng = jnp.zeros_like(keep)
+            for lo_v, hi_v in cfg.fuzz_v_ranges:
+                in_rng = in_rng | ((v >= lo_v) & (v <= hi_v))
+            keep = keep & in_rng
         n_fuzz = om_f.shape[1]
         fuzz = PolishResult(
             omega=om_f.reshape(-1),
@@ -204,7 +238,7 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
             mismatch=mism_f.reshape(-1),
             mask=keep.reshape(-1),
             mode=None if modes is None else jnp.repeat(modes, n_fuzz))
-        return pr, fuzz
+        return pr, fuzz, n_saturated
 
     _PIPELINE_CACHE[key] = pipeline
     return pipeline
@@ -233,7 +267,16 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
         if modes is not None:
             modes = jnp.concatenate([modes, jnp.zeros((pad,), modes.dtype)])
     pipeline = _search_pipeline(disp_batch_scan, disp_batch_polish, cfg)
-    pr, fuzz = pipeline(omegas, ks, modes)
+    pr, fuzz, n_saturated = pipeline(omegas, ks, modes)
+    n_sat = int(n_saturated)
+    if n_sat:
+        import warnings
+        warnings.warn(
+            f"{n_sat} ladder rows found more sign changes than "
+            f"max_brackets_per_row={cfg.max_brackets_per_row}; only the "
+            f"lowest-omega brackets per row were polished - raise "
+            f"max_brackets_per_row (or set pole_det_factor) if roots near "
+            f"the upper band edge matter", stacklevel=2)
     keep = rows * cfg.max_brackets_per_row
 
     def cut(x, n):
@@ -326,6 +369,19 @@ class ComplexSearchResult(NamedTuple):
     mask: jnp.ndarray
 
 
+def winding_number(disp_batch: Callable, k, path: jnp.ndarray, mode=None):
+    """Winding number of the dispersion determinant along a closed polyline
+    `path` in the complex omega plane: (zeros - poles) enclosed, by the
+    argument principle (phase-increment quadrature)."""
+    z = jnp.asarray(path)
+    n = z.shape[0]
+    kk = jnp.full(z.shape, k, jnp.asarray(z).real.dtype)
+    md = None if mode is None else jnp.full(z.shape, float(mode))
+    det = _call_disp(disp_batch, z, kk, md).det
+    dphase = jnp.angle(det[jnp.arange(1, n + 1) % n] / det)
+    return jnp.sum(dphase) / (2.0 * jnp.pi)
+
+
 def count_roots_argument_principle(disp_batch: Callable, k, center, radius,
                                    n_points: int = 512, mode=None):
     """Number of zeros (minus poles) of the holomorphic dispersion determinant
@@ -335,13 +391,27 @@ def count_roots_argument_principle(disp_batch: Callable, k, center, radius,
     sweep missed no KH roots)."""
     th = jnp.linspace(0.0, 2.0 * jnp.pi, n_points, endpoint=False)
     z = center + radius * jnp.exp(1j * th)
-    kk = jnp.full(z.shape, k, jnp.asarray(center).real.dtype)
-    md = None if mode is None else jnp.full(z.shape, float(mode))
-    det = _call_disp(disp_batch, z, kk, md).det
-    dphase = jnp.angle(det[jnp.arange(1, n_points + 1) % n_points]
-                       / det)
-    winding = jnp.sum(dphase) / (2.0 * jnp.pi)
-    return winding
+    return winding_number(disp_batch, k, z, mode=mode)
+
+
+def count_roots_rectangle(disp_batch: Callable, k, re_lo, re_hi, im_lo, im_hi,
+                          n_per_side: int = 128, mode=None):
+    """Zeros (minus poles) inside a rectangle of the complex omega plane.
+
+    The completeness audit uses UPPER-half-plane rectangles (im_lo > 0):
+    the determinant's singularities - Alfven/cusp/flow-continuum poles,
+    omega = k (U(x) +- c_T(x)) etc. - all sit on the REAL axis for real
+    equilibria, so a rectangle lifted off the axis is pole-free and its
+    winding number counts genuinely growing modes exactly.
+    """
+    def seg(a, b):
+        t = jnp.linspace(0.0, 1.0, n_per_side, endpoint=False)
+        return a + (b - a) * t
+
+    c = [complex(re_lo, im_lo), complex(re_hi, im_lo),
+         complex(re_hi, im_hi), complex(re_lo, im_hi)]
+    path = jnp.concatenate([seg(c[i], c[(i + 1) % 4]) for i in range(4)])
+    return winding_number(disp_batch, k, path, mode=mode)
 
 
 def newton_complex(disp_batch: Callable, omega0: jnp.ndarray, k: jnp.ndarray,

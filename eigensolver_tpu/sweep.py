@@ -107,6 +107,9 @@ class SweepStats:
     wall_s: float = 0.0
     n_candidates: int = 0
     n_roots: int = 0
+    # complex sweeps: argument-principle completeness audit (see
+    # run_case_complex) - {"cells", "checked", "agree", "fraction"}
+    completeness: Optional[dict] = None
 
     @property
     def roots_per_sec(self) -> float:
@@ -176,7 +179,8 @@ def run_case_checkpointed(case: CaseConfig, search: Optional[SearchConfig] = Non
 
 def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
                      n_im: int = 10, newton_iters: int = 30,
-                     accept_pct: float = 0.5, dtype=jnp.float64
+                     accept_pct: float = 0.5, dtype=jnp.float64,
+                     check_completeness: bool = True
                      ) -> tuple[RootSet, SweepStats]:
     """Complex-omega sweep (Kelvin-Helmholtz growth rates).
 
@@ -187,6 +191,18 @@ def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
     (the reference's seed band, `:1127`). The determinant is holomorphic, so
     each Newton step costs one jvp. Converged roots are filtered by the
     residual-acceptance metric and deduplicated in the complex plane.
+
+    check_completeness: audit each (k, band) cell with the argument
+    principle - the winding number of D(omega) around an upper-half-plane
+    rectangle over the cell counts its enclosed growing-mode zeros exactly
+    (the contour stays clear of the real-axis continuum poles), so
+    `winding == accepted roots inside` certifies the Newton sweep missed no
+    KH instability there (the completeness guarantee the reference's
+    serendipitous grid scan lacks, SURVEY.md section 7 "Root
+    completeness"). Cells whose winding quadrature is not
+    integer-quantized (a zero grazes the contour) are reported as unchecked
+    rather than failed. Results land in SweepStats.completeness; see
+    `_audit_completeness`.
     """
     assert case.complex_omega, "case must have complex_omega=True"
     modes = tuple(modes) if modes is not None else case.modes
@@ -227,8 +243,57 @@ def run_case_complex(case: CaseConfig, modes=None, n_re: int = 12,
                                     omegas_imag=om_d.imag).sorted_by_k()
         stats.n_candidates += omega0.size
         stats.n_roots += len(om_d)
+        if check_completeness:
+            _audit_completeness(disp, ks, speeds, case.imag_band,
+                                om_d, k_d, stats)
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats
+
+
+def _audit_completeness(disp, ks, speeds, imag_band, om_d, k_d,
+                        stats: SweepStats, quant_tol: float = 0.1,
+                        margin_frac: float = 0.05):
+    """Argument-principle audit of a complex sweep (see run_case_complex).
+
+    One UPPER-half-plane rectangle per (k, band) cell: real range [lo*k,
+    hi*k] (the reference's seed band,
+    `flow_multiprocessor_complex_coronal.py:1127`), imaginary range
+    [margin, 3*imag_band] (matching run_case_complex's in_window imag
+    filter). Lifting the contour off the real axis by `margin_frac *
+    imag_band` keeps it clear of the determinant's continuum poles - which
+    all sit ON the real axis for real equilibria - so the winding number is
+    exactly the number of enclosed GROWING modes; agreement with the
+    accepted-root count in the same rectangle certifies cell-by-cell that
+    the Newton sweep missed no instability. (Neutral quasi-modes within the
+    margin strip are continuum artifacts, deliberately outside the audit.)
+    """
+    from .search import count_roots_rectangle
+
+    if stats.completeness is None:
+        stats.completeness = {"cells": 0, "checked": 0, "agree": 0,
+                              "missed": 0, "fraction": None}
+    comp = stats.completeness
+    roots = np.asarray(om_d)
+    im_lo = margin_frac * imag_band
+    im_hi = 3.0 * imag_band
+    for k in ks:
+        for lo, hi in zip(speeds[:-1], speeds[1:]):
+            re_lo, re_hi = lo * k, hi * k
+            w = float(count_roots_rectangle(disp, float(k), re_lo, re_hi,
+                                            im_lo, im_hi))
+            comp["cells"] += 1
+            if abs(w - round(w)) > quant_tol or round(w) < 0:
+                continue          # a zero grazes the contour: report unchecked
+            comp["checked"] += 1
+            sel = np.isclose(np.asarray(k_d), k, atol=1e-12)
+            rr = roots[sel]
+            inside = int(np.sum((rr.real > re_lo) & (rr.real < re_hi)
+                                & (rr.imag > im_lo) & (rr.imag < im_hi)))
+            agree = inside == int(round(w))
+            comp["agree"] += int(agree)
+            comp["missed"] += max(0, int(round(w)) - inside)
+    comp["fraction"] = (comp["agree"] / comp["checked"]
+                        if comp["checked"] else None)
 
 
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,

@@ -36,6 +36,7 @@ def test_scan_matches_brentq_slab():
 
 
 @pytest.mark.parametrize("m", [0, 1])
+@pytest.mark.slow
 def test_cylinder_relation_matches_solver_uniform_limit(m):
     """Analytic Edwin-Roberts roots == shooting-engine roots, width=1e5."""
     import dataclasses

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from eigensolver_tpu import cases
 from eigensolver_tpu.search import SearchConfig
@@ -16,6 +17,7 @@ def _case():
         grid=dataclasses.replace(case.grid, n_interior=512))
 
 
+@pytest.mark.slow
 def test_checkpointed_matches_plain(tmp_path):
     case = _case()
     cfg = SearchConfig(n_omega=96, n_bisect=45)

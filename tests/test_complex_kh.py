@@ -39,6 +39,7 @@ def _analytic_newton(rg, W0, K, n=60):
     return W
 
 
+@pytest.mark.slow
 def test_kh_growth_rate_matches_analytic():
     case = cases.slab_flow_complex_coronal()
     case = dataclasses.replace(case, n_k=1, k_min=0.5, k_max=0.5)
@@ -52,6 +53,40 @@ def test_kh_growth_rate_matches_analytic():
     assert abs(W_us - W_ref) < 2e-6, (W_us, W_ref)
     # conjugate partner also present (real-coefficient determinant)
     assert (br.omegas_imag < -1e-3).any()
+
+
+@pytest.mark.slow
+def test_kh_completeness_argument_principle_nonuniform():
+    """Argument-principle audit on the NON-uniform (W=1) KH layer at 3 k
+    values: every quantized upper-half-plane winding number must equal the
+    accepted growing-root count inside the same rectangle (completeness of
+    the Newton sweep off the uniform limit, where no analytic relation
+    exists - the regime the reference's complex solver works in,
+    `flow_multiprocessor_complex_coronal.py:360-503`)."""
+    case = cases.slab_flow_complex_coronal(width=1.0)
+    case = dataclasses.replace(case, n_k=3, k_min=0.4, k_max=1.2)
+    rs, st = run_case_complex(case, n_re=10, n_im=8, newton_iters=30)
+    comp = st.completeness
+    assert comp is not None and comp["cells"] == 3 * 3
+    assert comp["checked"] >= 6, comp
+    assert comp["missed"] == 0, comp
+    assert comp["agree"] == comp["checked"], comp
+
+
+@pytest.mark.slow
+def test_kh_completeness_counts_the_uniform_grower():
+    """Positive control: in the uniform limit where the analytic KH grower
+    exists (test above), the audit's winding number must actually see it -
+    total enclosed zeros across cells >= 1 and all quantized cells agree."""
+    case = cases.slab_flow_complex_coronal()
+    case = dataclasses.replace(case, n_k=1, k_min=0.5, k_max=0.5)
+    rs, st = run_case_complex(case, n_re=8, n_im=6, newton_iters=30)
+    br = rs["kink"]
+    assert (br.omegas_imag > 1e-3).any()
+    comp = st.completeness
+    assert comp["checked"] >= 1
+    assert comp["agree"] == comp["checked"], comp
+    assert comp["missed"] == 0, comp
 
 
 def test_kh_stable_below_threshold():

@@ -42,6 +42,7 @@ def analytic_det(rg, W, K, m):
 
 
 @pytest.mark.parametrize("m", [0, 1])
+@pytest.mark.slow
 def test_uniform_coronal_cylinder_matches_bessel(m):
     case = cases.cylinder_density_coronal(width=1e5)
     rg = case.regime

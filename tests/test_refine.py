@@ -2,12 +2,14 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from eigensolver_tpu import cases
 from eigensolver_tpu.search import SearchConfig
 from eigensolver_tpu.sweep import run_case
 
 
+@pytest.mark.slow
 def test_refine_f64_tightens_f32_roots():
     case = cases.slab_density_photospheric(width=1e5)
     case = dataclasses.replace(

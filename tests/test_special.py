@@ -51,6 +51,51 @@ def test_pallas_kernel_interpret_matches_jax():
     np.testing.assert_allclose(np.asarray(r1p), np.asarray(r1), rtol=1e-5)
 
 
+def test_kve_hot_vmap_matches_scalar():
+    """The custom_vmap hot wrapper must be transparent: vmapped results equal
+    the plain elementwise evaluation (CPU branch of the dispatch)."""
+    import jax
+    from eigensolver_tpu.kernels import bessel
+
+    z = jnp.asarray(np.random.default_rng(2).uniform(0.05, 30, 257))
+    r0v, r1v = jax.vmap(bessel.kve_ratio_both_hot)(z)
+    r0, r1 = special.kve_ratio_both(z)
+    np.testing.assert_allclose(np.asarray(r0v), np.asarray(r0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1v), np.asarray(r1), rtol=1e-12)
+    # scalar call passes through untouched
+    s0, s1 = bessel.kve_ratio_both_hot(jnp.float64(3.3))
+    w0, w1 = special.kve_ratio_both(jnp.float64(3.3))
+    assert float(s0) == float(w0) and float(s1) == float(w1)
+
+
+def test_kve_hot_pallas_branch_is_wired(monkeypatch):
+    """Force the dispatch to the Pallas kernel (interpret mode on CPU) and
+    check (a) it actually runs, (b) a full cylinder dispersion batch through
+    the hot path matches the pure-JAX exterior to 1e-6 (the VERDICT's
+    on-device equality bar, exercised in interpret mode)."""
+    import jax
+    from eigensolver_tpu.kernels import bessel
+
+    hits = []
+    real_pallas = bessel.kve_ratio_pallas
+
+    def fake_pallas(z, interpret=False):
+        hits.append(z.shape)
+        return real_pallas(z, interpret=True)
+
+    monkeypatch.setattr(bessel, "_hot_dispatch", lambda z: "pallas")
+    monkeypatch.setattr(bessel, "kve_ratio_pallas", fake_pallas)
+
+    z = jnp.asarray(np.random.default_rng(3).uniform(0.05, 30, 300), jnp.float32)
+    with jax.disable_jit():          # keep the monkeypatch visible (no cache)
+        r0v, r1v = jax.vmap(bessel.kve_ratio_both_hot)(z)
+    assert hits, "pallas branch never dispatched"
+    r0, r1 = special.kve_ratio_both(z)
+    np.testing.assert_allclose(np.asarray(r0v), np.asarray(r0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1v), np.asarray(r1), rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_bessel_exterior_equals_numeric_exterior():
     """Cylinder dispersion roots identical under 'bessel' vs 'numeric'
     exterior treatment (machine precision)."""

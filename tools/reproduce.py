@@ -83,18 +83,28 @@ TARGETS = {
     # breaks on its FIRST under-tolerance scan point, so flat kink branches
     # hugging c_kink are recorded AT the band-edge seed v = +-c_kink - the
     # fuzz first-of-run points reproduce those entries.
+    # Band edges: the generating file's characteristic speeds are
+    # +-{cT_i0=0.8944, c_i0=1, vA_i0=2, c_kink=2.75325, vA_e=5}
+    # (`Cylinder_method_flow_testing.py:231`, mirrored negative list `:228`);
+    # the +-0.51 entries are OUR ladder guard edges only - they keep the
+    # (-cT, +cT) gap (which the reference never scans) out of any one ladder
+    # row spanning v = 0. fuzz_v_ranges therefore restricts the swath
+    # (fuzz) acceptance to |v| within the reference's scanned bands, so no
+    # swath entry is recorded at a seed the reference never evaluated.
+    # The strided fuzz grid reproduces its 70-seed scans (`:1153`) - swath
+    # entries accepted at xi_tol=6% (`:530`) are recorded AT those seeds (up
+    # to the ladder edge_shrink offset, ~1e-3 of band width), up to band/70
+    # from the residual's true zero. n_omega = 22*69+1 keeps 22x the
+    # reference's bracketing resolution on the same grid. max_brackets=24:
+    # the consolidated wide bands (e.g. (2.75325, 4.999)) can hold more
+    # body-mode sign changes per row than the default budget of 8.
     "cyl_flow_1": dict(
         case=("cylinder_flow_coronal", dict(U=0.05, width=1.0)),
         pickle=f"{REF}/Cylinder/Non-uniform flow/Coronal/Example data/Cylindrical_coronal_flow_1.pickle",
-        # the generating file's OWN band edges (`Cylinder_method_flow_testing
-        # .py:231`, mirrored negative list `:228`), so the strided fuzz grid
-        # reproduces its 70-seed scans (`:1153`) - swath entries accepted at
-        # xi_tol=6% (`:530`) are recorded AT those seeds, up to band/70 from
-        # the residual's true zero. n_omega = 22*69+1 keeps 22x the
-        # reference's bracketing resolution on the same grid.
         speeds=(-4.999, -2.75325, -2.0, -1.0, -0.8944, -0.51,
                 0.51, 0.8944, 1.0, 2.0, 2.75325, 4.999),
-        n_omega=1519, fuzz_stride=22, fuzz_pct=6.0,
+        n_omega=1519, fuzz_stride=22, fuzz_pct=6.0, max_brackets=24,
+        fuzz_v_ranges=((0.8944, 4.999),),
     ),
     # The twisted scripts accept the FIRST scanned omega whose xi residual is
     # under P_tol=2.5% (`Twisted_photospheric_nonlinear_flow_kink_fast.py:
@@ -180,7 +190,17 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     from eigensolver_tpu.sweep import run_case
 
     fac, kw = spec["case"]
+    if "n_omega" in spec and spec["n_omega"] != n_omega:
+        print(f"# {name}: spec n_omega={spec['n_omega']} overrides "
+              f"--n-omega {n_omega} (fuzz-grid alignment)", file=sys.stderr)
     n_omega = spec.get("n_omega", n_omega)
+    fuzz_stride = spec.get("fuzz_stride", 1)
+    if fuzz_stride > 1:
+        # the strided fuzz grid only lands on the reference's seed linspace
+        # when the ladder is uniform and stride divides the panel count
+        assert (n_omega - 1) % fuzz_stride == 0, (
+            f"{name}: fuzz_stride={fuzz_stride} needs (n_omega-1) % stride == 0"
+            f" (n_omega={n_omega})")
     case = getattr(case_mod, fac)(**kw)
     ref = load_pickle(spec["pickle"])
     k_ref = np.unique(np.concatenate(
@@ -194,11 +214,16 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
         case = dataclasses.replace(case, **spec["case_extra"])
     # f32 bisection saturates by ~18 iterations (measured bit-identical vs 45)
     n_bisect = 50 if scan_dtype == "float64" else 18
+    if fuzz_stride > 1:
+        assert case.grid.ladder_shape == "uniform", (
+            f"{name}: fuzz_stride parity requires a uniform omega ladder, "
+            f"got {case.grid.ladder_shape!r}")
     cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype,
                        max_brackets_per_row=spec.get("max_brackets", 8),
                        fuzz_accept_pct=spec.get("fuzz_pct", 3.0),
-                       fuzz_stride=spec.get("fuzz_stride", 1),
+                       fuzz_stride=fuzz_stride,
+                       fuzz_v_ranges=spec.get("fuzz_v_ranges"),
                        # with --refine, loosen the f32 filter and re-judge at
                        # the f64 zero (needle quasi-resonances; see
                        # SearchConfig.accept_pct_refined)
