@@ -91,26 +91,38 @@ def _kernel(z_ref, r0_ref, r1_ref):
     r1_ref[:] = r1
 
 
+# Rows of 128 lanes processed per grid step. Bounded so the unrolled
+# series/CF temporaries (~30 live full-block f32 arrays) stay well inside
+# the 128 MB VMEM budget: 128 x 128 x 4 B x ~30 = ~2 MB. Without a grid a
+# million-candidate sweep spills ~150 MB of register slots and the TPU
+# compile aborts (measured on cyl_flow_1).
+_GRID_ROWS = 128
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def kve_ratio_pallas(z: jnp.ndarray, interpret: bool = False):
     """(K0'/K0, K1'/K1) for a flat batch of real z > 0 via one Pallas kernel.
-    Pads to the (8, 128) f32 tile internally."""
+    Pads to the (8, 128) f32 tile internally; batches beyond _GRID_ROWS*128
+    elements are tiled over a 1-D grid."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = z.shape[0]
-    pad = (-n) % _BLOCK
+    pad = (-n) % (_GRID_ROWS * _LANE)
     zp = jnp.pad(z.astype(jnp.float32), (0, pad), constant_values=1.0)
     rows = zp.shape[0] // _LANE
     zp = zp.reshape(rows, _LANE)
+    grid = rows // _GRID_ROWS
 
+    block = pl.BlockSpec((_GRID_ROWS, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     r0, r1 = pl.pallas_call(
         _kernel,
+        grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
                    jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=[block],
+        out_specs=(block, block),
         interpret=interpret,
     )(zp)
     return r0.reshape(-1)[:n], r1.reshape(-1)[:n]

@@ -247,7 +247,8 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
 def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
                 omegas: jnp.ndarray, ks: jnp.ndarray,
                 cfg: SearchConfig, row_bucket: int = 128,
-                modes: Optional[jnp.ndarray] = None) -> PolishResult:
+                modes: Optional[jnp.ndarray] = None,
+                max_cells_per_dispatch: int = 1_200_000) -> PolishResult:
     """Full scan->bracket->polish pipeline for one ladder batch.
 
     omegas: (rows, n_omega) ladders; ks: (rows,); modes: optional (rows,)
@@ -256,9 +257,35 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
     fused pipeline compiles once per bucket size rather than per exact row
     count. Returns a PolishResult whose mask already includes acceptance
     filtering (padding rows produce no brackets - their dets are NaN).
+
+    Batches above `max_cells_per_dispatch` (rows * n_omega) are split into
+    row chunks dispatched sequentially: the fused pipeline's scratch
+    (ladder dets + the bracket top-K sort) is proportional to the batch
+    area, and one monolithic dispatch of a multi-million-candidate sweep
+    exceeds TPU VMEM at compile time (measured: cyl_flow_1 at 1792 x 1519
+    needs 318 MB of the 128 MB vmem). Chunks share one compiled program
+    (same bucketed shape), so the split costs only dispatch latency.
     """
     rows = omegas.shape[0]
     n_omega = omegas.shape[1]
+    max_rows = max(row_bucket, (max_cells_per_dispatch // n_omega)
+                   // row_bucket * row_bucket)
+    if rows > max_rows:
+        outs = []
+        for s in range(0, rows, max_rows):
+            e = min(s + max_rows, rows)
+            outs.append(search_rows(
+                disp_batch_scan, disp_batch_polish, omegas[s:e], ks[s:e],
+                cfg, row_bucket=row_bucket,
+                modes=None if modes is None else modes[s:e],
+                max_cells_per_dispatch=max_cells_per_dispatch))
+        return PolishResult(
+            omega=jnp.concatenate([o.omega for o in outs]),
+            k=jnp.concatenate([o.k for o in outs]),
+            mismatch=jnp.concatenate([o.mismatch for o in outs]),
+            mask=jnp.concatenate([o.mask for o in outs]),
+            mode=(None if outs[0].mode is None
+                  else jnp.concatenate([o.mode for o in outs])))
     pad = (-rows) % row_bucket
     if pad:
         omegas = jnp.concatenate(

@@ -8,6 +8,7 @@ Targets default to all eight BASELINE.md rows.
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -148,6 +149,15 @@ TARGETS = {
     ),
 }
 
+# Programmatic targets for every remaining Example-data pickle (pure
+# parameter loops over the same case constructors; windows derived from the
+# pickle's own phase-speed clusters - see tools/targets_auto.py).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from targets_auto import generate as _auto_generate  # noqa: E402
+
+TARGETS.update(_auto_generate(
+    existing_pickles=[s["pickle"] for s in TARGETS.values()]))
+
 
 def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     matched, total, errs = 0, 0, []
@@ -189,6 +199,8 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     from eigensolver_tpu.search import SearchConfig
     from eigensolver_tpu.sweep import run_case
 
+    from targets_auto import resolve_windows
+    spec = resolve_windows(spec)
     fac, kw = spec["case"]
     if "n_omega" in spec and spec["n_omega"] != n_omega:
         print(f"# {name}: spec n_omega={spec['n_omega']} overrides "
@@ -203,6 +215,12 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
             f" (n_omega={n_omega})")
     case = getattr(case_mod, fac)(**kw)
     ref = load_pickle(spec["pickle"])
+    # 2-tuple pickles always load as branch "kink" (the twisted scripts all
+    # dump [sol_omegas1, sol_ks1] regardless of m,
+    # `Twisted_photospheric_flow_sausage.py:786`); when the case solves m=0
+    # the roots are sausage modes - relabel so the branch lookup matches.
+    if set(ref.branches) == {"kink"} and tuple(case.modes) == (0,):
+        ref = type(ref)({"sausage": ref.branches["kink"]}, ref.case_name)
     k_ref = np.unique(np.concatenate(
         [b.ks for b in ref.branches.values() if len(b)]))
     case = dataclasses.replace(case, k_values=tuple(k_ref),

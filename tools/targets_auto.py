@@ -1,0 +1,239 @@
+"""Programmatic reproduction targets for every shipped reference pickle.
+
+The hand-tuned entries in tools/reproduce.py TARGETS cover the eight
+BASELINE.md rows (plus twisted variants). This module generates specs for
+the REMAINING Example-data pickles - pure parameter loops over the same
+case constructors (widths, flow amplitudes, twist/power/branch grid).
+
+Window derivation: the reference scanned hand-picked phase-speed windows
+per file (kept as edited-over `speeds = [...]` lines in the solver
+scripts, one per run - unrecoverable per pickle). The shipped roots ARE
+the record of what was scanned, so windows are built from the pickle's
+own phase-speed clusters:
+
+  1. cluster v = omega/k with a gap threshold,
+  2. pad each cluster and merge overlaps,
+  3. split at the case's characteristic speeds (+-cT_i0, c_i0, c_kink,
+     c_e, vA_i0, vA_e) with a small guard gap - exactly the role the
+     reference's speed lists play (`multiprocessor_Inhomogeneous_method
+     .py:790-793` seeds each band between adjacent characteristic
+     speeds to dodge the dispersion function's poles),
+  4. subdivide wide spans so ladder resolution stays comparable to the
+     reference's per-band linspace.
+
+Every reference root therefore lies inside a scanned window (no roots
+are silently excluded; gap bands between clusters are scanned too, they
+just hold no reference entries).
+"""
+import glob
+import os
+import pickle as _pickle
+import re
+
+import numpy as np
+
+REF = "/root/reference"
+GAMMA = 5.0 / 3.0
+
+
+def _load_arrays(path):
+    with open(path, "rb") as f:
+        data = _pickle.load(f)
+    return [np.asarray(a, dtype=float) for a in data]
+
+
+def _phase_speeds(path):
+    arrs = _load_arrays(path)
+    vs = []
+    pairs = [(0, 1)] if len(arrs) == 2 else [(0, 1), (2, 3)]
+    for oi, ki in pairs:
+        om, k = arrs[oi], arrs[ki]
+        if len(om):
+            v = om / k
+            vs.append(v[np.isfinite(v)])
+    return np.sort(np.concatenate(vs)) if vs else np.asarray([])
+
+
+def char_speeds_for(case):
+    rg = case.regime
+    s = {rg.c_i0, rg.cT_i0, rg.c_e, rg.cT_e, rg.vA_i0, rg.vA_e, rg.c_kink}
+    if case.geometry.value == "cylinder":
+        s |= {-x for x in s}
+    return sorted(x for x in s if abs(x) > 1e-12)
+
+
+def windows_from_pickle(path, case, min_gap=0.06, pad=0.008,
+                        max_width=0.16, guard=7e-4):
+    """Sorted tuple of phase-speed band edges covering every root in the
+    pickle (see module docstring for the derivation)."""
+    v = _phase_speeds(path)
+    if not len(v):
+        return ()
+    # 1. cluster
+    cuts = np.where(np.diff(v) > min_gap)[0]
+    clusters = []
+    start = 0
+    for c in list(cuts) + [len(v) - 1]:
+        clusters.append((v[start], v[c]))
+        start = c + 1
+    # 2. pad + merge
+    padded = [(lo - pad, hi + pad) for lo, hi in clusters]
+    merged = [padded[0]]
+    for lo, hi in padded[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(hi, merged[-1][1]))
+        else:
+            merged.append((lo, hi))
+    # 3. split at characteristic speeds with a guard gap
+    chars = char_speeds_for(case)
+    edges = set()
+    spans = []
+    for lo, hi in merged:
+        pts = [lo]
+        for s in chars:
+            g = max(guard, guard * abs(s))
+            if lo + g < s < hi - g:
+                pts += [s - g, s + g]
+        pts.append(hi)
+        pts.sort()
+        for a, b in zip(pts[:-1], pts[1:]):
+            spans.append((a, b))
+        edges.update(pts)
+    # 4. subdivide wide spans
+    for a, b in spans:
+        w = b - a
+        if w > max_width:
+            n = int(np.ceil(w / max_width))
+            edges.update(a + w * i / n for i in range(1, n))
+    return tuple(sorted(edges))
+
+
+# ---------------------------------------------------------------------------
+# family tables
+# ---------------------------------------------------------------------------
+
+def _d(path):
+    return os.path.join(REF, path)
+
+
+def generate(existing_pickles=()):
+    """dict name -> spec (same schema as reproduce.TARGETS), one per
+    Example-data pickle not already covered by `existing_pickles`."""
+    targets = {}
+    done = {os.path.normpath(p) for p in existing_pickles}
+
+    def add(name, factory, kwargs, pkl, grid=None, case_extra=None,
+            tol=3e-3, window_kw=None, modes=None):
+        if os.path.normpath(pkl) in done or not os.path.exists(pkl):
+            return
+        targets[name] = dict(
+            case=(factory, kwargs), pickle=pkl, auto_windows=window_kw or {},
+            tol=tol, **({"grid": grid} if grid else {}),
+            **({"case_extra": case_extra} if case_extra else {}),
+            **({"modes": modes} if modes else {}))
+
+    ext7 = dict(exterior_method="numeric", exterior_wavelengths=7.0)
+    ext3 = dict(exterior_method="numeric", exterior_wavelengths=3.0)
+
+    # --- slab photospheric density (multiprocessor_Inhomogeneous_method.py)
+    base = _d("Slab/Non uniform density/Photospheric/Example data")
+    for tag, width in [("15", 1.5), ("3", 3.0)]:
+        add(f"slab_ph_{tag}", "slab_density_photospheric", dict(width=width),
+            f"{base}/width{tag}.pickle", grid=ext7)
+    add("slab_ph_3zoom", "slab_density_photospheric", dict(width=3.0),
+        f"{base}/width3_ZOOM.pickle", grid=ext7)
+
+    # --- slab coronal density
+    base = _d("Slab/Non uniform density/Coronal/Example data")
+    for tag, width in [("15", 1.5), ("1e5", 1e5), ("3", 3.0)]:
+        add(f"slab_co_{tag}", "slab_density_coronal", dict(width=width),
+            f"{base}/width{tag}_coronal.pickle", grid=ext7)
+    add("slab_co_09zoom", "slab_density_coronal", dict(width=0.9),
+        f"{base}/width09_zoom_coronal.pickle", grid=ext7)
+    add("slab_co_15zoom", "slab_density_coronal", dict(width=1.5),
+        f"{base}/width15_zoom_coronal.pickle", grid=ext7)
+
+    # --- slab non-uniform flow (flow_multiprocessor_coronal.py; generating
+    # amplitude U_i0=0.35 and the legacy shear form, identified in round 1 -
+    # see reproduce.TARGETS slab_flow_1)
+    base = _d("Slab/Non uniform flow/Example data")
+    for tag, width in [("125", 1.25), ("15", 1.5), ("3", 3.0), ("5", 5.0),
+                       ("1e5", 1e5)]:
+        add(f"slab_flow_{tag}", "slab_flow_gaussian_coronal",
+            dict(width=width, U_i0=0.35),
+            f"{base}/flow_width{tag}_coronal.pickle", grid=ext3,
+            case_extra=dict(shear_D_legacy=True))
+
+    # --- cylinder coronal density (Density_cylinder.py)
+    base = _d("Cylinder/Non-uniform density/Coronal/Example data")
+    for tag, width in [("1", 1.0), ("125", 1.25), ("15", 1.5), ("175", 1.75),
+                       ("1e5", 1e5), ("3", 3.0)]:
+        add(f"cyl_co_{tag}", "cylinder_density_coronal", dict(width=width),
+            f"{base}/Cylindrical_coronal_width{tag}.pickle")
+
+    # --- cylinder photospheric density (+ the slow-mode sweeps, scanned in
+    # their own windows `Density_cylinder_photospheric.py:227`
+    # speeds=[0.675, 0.7, 0.8, cT_i0, c_i0])
+    base = _d("Cylinder/Non-uniform density/Photospheric/Example data")
+    for tag, width in [("15", 1.5), ("1e5", 1e5), ("3", 3.0)]:
+        add(f"cyl_ph_{tag}", "cylinder_density_photospheric",
+            dict(width=width),
+            f"{base}/Cylindrical_photospheric_width_{tag}.pickle")
+    for tag, width in [("09", 0.9), ("15", 1.5), ("1e5", 1e5), ("3", 3.0)]:
+        add(f"cyl_ph_{tag}_slow", "cylinder_density_photospheric",
+            dict(width=width),
+            f"{base}/Cylindrical_photospheric_width_{tag}_slowmodes.pickle",
+            window_kw=dict(min_gap=0.03, max_width=0.08))
+
+    # --- cylinder axial flow (Cylinder_method_flow_testing.py; U=0.05,
+    # Gaussian width from the file tag - flow_1e5 is the uniform-flow limit,
+    # noflow is U=0; identified by the analysis scripts,
+    # `analysis_cylinder_flow_coronal.py:117,121`)
+    base = _d("Cylinder/Non-uniform flow/Coronal/Example data")
+    add("cyl_flow_06", "cylinder_flow_coronal", dict(U=0.05, width=0.6),
+        f"{base}/Cylindrical_coronal_flow_06.pickle")
+    add("cyl_flow_1e5", "cylinder_flow_coronal", dict(U=0.05, width=1e5),
+        f"{base}/Cylindrical_coronal_flow_1e5.pickle")
+    add("cyl_flow_noflow", "cylinder_flow_coronal", dict(U=0.0, width=1.0),
+        f"{base}/Cylindrical_coronal_flow_noflow.pickle")
+
+    # --- rotational flow (twisted) grid: every remaining
+    # vtwist{V}_power{P}_{branch} pickle; m=1 for *kink*, m=0 for *sausage*
+    # (`Twisted_photospheric_nonlinear_flow_kink_fast.py` vs
+    # `Twisted_photospheric_flow_sausage.py`, which differ only in m and
+    # windows - SURVEY.md S10). tol matches the first-acceptance offset of
+    # the twisted scripts (P_tol=2.5% break-on-accept; see reproduce.TARGETS
+    # twist_v01_p1 note).
+    base = _d("Cylinder/Rotational flow/Photospheric/Example data")
+    vmap = {"005": 0.05, "01": 0.1, "015": 0.15, "025": 0.25}
+    pmap = {"08": 0.8, "09": 0.9, "1": 1.0, "125": 1.25}
+    for pkl in sorted(glob.glob(f"{base}/*.pickle")):
+        m = re.match(r"Cylindrical_photospheric_vtwist(\d+)_power(\d+)_(.+)",
+                     os.path.basename(pkl)[:-7])
+        if not m:
+            continue
+        vtag, ptag, branch = m.groups()
+        if vtag not in vmap or ptag not in pmap:
+            continue
+        mode = 0 if "sausage" in branch else 1
+        name = f"twist_v{vtag}_p{ptag}_{branch}"
+        add(name, "cylinder_twisted_photospheric",
+            dict(v_twist=vmap[vtag], power=pmap[ptag], mode=mode),
+            pkl, tol=8e-3, window_kw=dict(min_gap=0.05, max_width=0.08))
+
+    return targets
+
+
+def resolve_windows(spec):
+    """Fill spec['speeds'] from the pickle clusters (idempotent)."""
+    if "speeds" in spec:
+        return spec
+    import sys
+    sys.path.insert(0, ".")
+    from eigensolver_tpu import cases as case_mod
+    fac, kw = spec["case"]
+    case = getattr(case_mod, fac)(**kw)
+    spec = dict(spec)
+    spec["speeds"] = windows_from_pickle(spec["pickle"], case,
+                                         **spec.get("auto_windows", {}))
+    return spec
