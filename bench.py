@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: eigenmode roots/sec/chip, slab photospheric density sweep.
+"""Benchmark: eigenmode roots/sec/chip on the three engine families.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 - value: accepted eigenmode roots per second per chip for the full omega-k
   sweep of the slab photospheric density case (W=0.9), f32 scan+polish on the
-  default device (TPU under axon; CPU in dev environments).
+  default device (TPU under axon; CPU in dev environments) - the same
+  headline metric as BENCH_r01 so rounds stay comparable.
+- detail.cases adds the two expensive engines the BASELINE scale rows name:
+  the cylinder Hain-Luest chain (coronal density W=0.9, with the Pallas
+  K_m'/K_m exterior kernel live vs the pure-JAX path) and the twisted
+  (rotational-flow) engine, each as steady-state roots/s and candidates/s.
 - vs_baseline: speedup of roots/sec over the reference pipeline, whose
   per-seed cost (scipy LSODA exterior + fsolve-shooting interior over the
   reference's 1e5-point grid, `multiprocessor_Inhomogeneous_method.py:364-387`)
@@ -13,7 +18,6 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
   count for the same case (35 k x 1 band x 35 seeds x 2 parities, plus the
   measured bisection-recursion overhead factor ~3x, `:790-801`).
 """
-import dataclasses
 import json
 import sys
 import time
@@ -35,6 +39,18 @@ def _device_healthy(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _bench_case(case, cfg):
+    """(roots/s, wall, n_roots, n_candidates) steady-state: first run
+    compiles, second run is timed."""
+    from eigensolver_tpu.sweep import run_case
+    run_case(case, cfg)
+    t0 = time.time()
+    rs, st = run_case(case, cfg)
+    wall = time.time() - t0
+    n_roots = sum(rs.counts().values())
+    return n_roots, wall, st.n_candidates
+
+
 def measure_ours():
     # Probe BEFORE this process imports jax (the axon plugin may hold the
     # single-tenant tunnel), and retry once: a freshly-detached previous
@@ -52,25 +68,63 @@ def measure_ours():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    import jax.numpy as jnp
 
     from eigensolver_tpu import cases
+    from eigensolver_tpu.kernels import bessel as bessel_mod
     from eigensolver_tpu.search import SearchConfig
-    from eigensolver_tpu.sweep import run_case
 
-    case = cases.slab_density_photospheric(width=0.9)
     # f32 bisection saturates at ~2^-12 of the ladder bracket (bit-identical
     # roots measured for n_bisect 12..45 in f32); 18 leaves margin.
     cfg = SearchConfig(n_omega=256, n_bisect=18,
                        scan_dtype="float32", polish_dtype="float32")
-    # first pass compiles (dispersion jits are cached per case config);
-    # the second pass is the steady-state sweep the metric reports.
-    run_case(case, cfg)
-    t0 = time.time()
-    rs, st = run_case(case, cfg)
-    wall = time.time() - t0
-    n_roots = sum(rs.counts().values())
-    return n_roots, wall, st.n_candidates, jax.default_backend()
+
+    out = {}
+    # headline: slab photospheric density (same as BENCH_r01)
+    n, wall, cands = _bench_case(cases.slab_density_photospheric(width=0.9),
+                                 cfg)
+    out["slab_ph_09"] = dict(n_roots=n, wall_s=round(wall, 3),
+                             roots_per_s=round(n / wall, 1),
+                             candidates=cands,
+                             cands_per_s=round(cands / wall, 1))
+
+    # cylinder Hain-Luest chain, Pallas K_m kernel live (TPU default)
+    cyl = cases.cylinder_density_coronal(width=0.9)
+    n, wall, cands = _bench_case(cyl, cfg)
+    out["cyl_co_09"] = dict(n_roots=n, wall_s=round(wall, 3),
+                            roots_per_s=round(n / wall, 1),
+                            candidates=cands,
+                            cands_per_s=round(cands / wall, 1),
+                            bessel=bessel_mod._hot_dispatch(
+                                np.zeros(1, np.float32)))
+    # same sweep with the kernel forced off, to quantify the Pallas win.
+    # The dispatch choice is baked in at trace time, so the jitted-dispersion
+    # cache must be dropped around the toggle or the compiled Pallas program
+    # would silently be reused.
+    from eigensolver_tpu import sweep as sweep_mod
+    orig = bessel_mod._hot_dispatch
+    try:
+        bessel_mod._hot_dispatch = lambda z: "jax"
+        sweep_mod._DISP_CACHE.clear()
+        n, wall, cands = _bench_case(cyl, cfg)
+        out["cyl_co_09_nokernel"] = dict(
+            n_roots=n, wall_s=round(wall, 3),
+            roots_per_s=round(n / wall, 1), candidates=cands,
+            cands_per_s=round(cands / wall, 1))
+    finally:
+        bessel_mod._hot_dispatch = orig
+        sweep_mod._DISP_CACHE.clear()
+
+    # twisted (rotational flow) engine - the conditioning-hardest family
+    n, wall, cands = _bench_case(
+        cases.cylinder_twisted_photospheric(v_twist=0.1, power=1.0, mode=1),
+        cfg)
+    out["twist_v01_p1"] = dict(n_roots=n, wall_s=round(wall, 3),
+                               roots_per_s=round(n / wall, 1),
+                               candidates=cands,
+                               cands_per_s=round(cands / wall, 1))
+
+    import jax as _jax
+    return out, _jax.default_backend()
 
 
 def measure_reference_seed_cost(n_samples: int = 4):
@@ -133,8 +187,9 @@ def measure_reference_seed_cost(n_samples: int = 4):
 
 
 def main():
-    n_roots, wall, n_cands, backend = measure_ours()
-    roots_per_sec = n_roots / wall
+    cases_out, backend = measure_ours()
+    head = cases_out["slab_ph_09"]
+    roots_per_sec = head["roots_per_s"]
 
     try:
         ref_seed_s = measure_reference_seed_cost()
@@ -156,15 +211,12 @@ def main():
 
     print(json.dumps({
         "metric": "eigenmode_roots_per_sec_per_chip",
-        "value": round(roots_per_sec, 3),
+        "value": roots_per_sec,
         "unit": "roots/s",
         "vs_baseline": round(vs_baseline, 2),
         "detail": {
             "backend": backend,
-            "n_roots": n_roots,
-            "sweep_wall_s": round(wall, 3),
-            "candidates": n_cands,
-            "candidates_per_sec": round(n_cands / wall, 1),
+            "cases": cases_out,
             "ref_seed_s": round(ref_seed_s, 4),
             "ref_wall_est_s": round(ref_wall, 1),
         },

@@ -48,17 +48,45 @@ from scipy.optimize import brentq
 warnings.filterwarnings("ignore")
 
 GAMMA = 5.0 / 3.0
-RTOL = 1e-11
-ATOL = 1e-300
+# rtol 1e-10 is ~100x tighter than the odeint LSODA defaults the pickles
+# were generated with (1.49e-8). atol must stay FINITE: with atol ~ 0 LSODA's
+# relative-only control collapses the step at every solution zero crossing
+# (measured: one slab residual at atol=1e-300 exceeds 280 s; at 1e-14 it is
+# ~0.6 s). States are O(1e-8)..O(1), so 1e-14 keeps absolute error far below
+# the 1e-3 match tolerance being adjudicated.
+RTOL = 1e-9
+ATOL = 1e-13
+
+
+class _Budget(Exception):
+    pass
+
+
+_MAX_NFEV = 20_000     # ~10-20x the nfev of a healthy integration
 
 
 def _ivp(rhs, span, y0):
-    """solve_ivp with a stall guard: flow-continuum poles (Doppler shift
-    Omega -> 0 inside the layer) drive the step size to zero; LSODA with a
-    min_step floor steps over them like the reference's odeint does, and a
-    failed solve returns None -> residual NaN."""
-    s = solve_ivp(rhs, span, y0, method="LSODA", rtol=RTOL, atol=ATOL,
-                  min_step=1e-10)
+    """solve_ivp with a stall guard: near interior poles (shear/continuum
+    resonances, F -> 0 mode-conversion points) LSODA's step collapses and a
+    single integration can take minutes even with a min_step floor (the
+    floor forces progress at 1e-10 per step - 1e7+ steps to cross a 1e-3
+    pole region). A hard nfev budget turns those pathological points into
+    residual = NaN instead; the reference's own odeint suffered the same
+    stiffness and simply emitted LSODA chatter (`stdout_redirected`,
+    `multiprocessor_Inhomogeneous_method.py:35-59`)."""
+    nfev = [0]
+
+    def guarded(t, y):
+        nfev[0] += 1
+        if nfev[0] > _MAX_NFEV:
+            raise _Budget
+        return rhs(t, y)
+
+    try:
+        s = solve_ivp(guarded, span, y0, method="LSODA", rtol=RTOL, atol=ATOL,
+                      min_step=1e-10)
+    except _Budget:
+        return None
     if not s.success or not np.all(np.isfinite(s.y[:, -1])):
         return None
     return s
@@ -106,8 +134,11 @@ def _derived(p):
 # slab engines (endpoint-parity full-domain scheme)
 # --------------------------------------------------------------------------
 
-def slab_residual(p, om, k, parity):
-    """% total-pressure mismatch of the reference slab scheme at (om, k)."""
+def slab_residual(p, om, k, parity, signed=False):
+    """% total-pressure mismatch of the reference slab scheme at (om, k).
+    signed=True keeps the sign of (exterior - interior) - the quantity whose
+    sign change the reference bisects on (`multiprocessor_Inhomogeneous_
+    method.py:510-522`); zeros of the signed form are the scheme's roots."""
     c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
     rho_i0, rho_e, cT_e = _derived(p)
     W = p["width"]
@@ -191,14 +222,15 @@ def slab_residual(p, om, k, parity):
     PTi = (rho(-1.0) * (a2 + c2) * (k**2 * cT2 - w1**2)
            / (w1 * (k**2 * c2 - w1**2)))
     insideP = PTi * s.y[1, 0]
-    return abs(leftP - insideP) * 100 / max(abs(leftP), abs(insideP))
+    d = (leftP - insideP) * 100 / max(abs(leftP), abs(insideP))
+    return d if signed else abs(d)
 
 
 # --------------------------------------------------------------------------
 # cylinder engine (Hain-Luest P-formulation on the negative-r trick grid)
 # --------------------------------------------------------------------------
 
-def cylinder_residual(p, om, k, parity, m=None):
+def cylinder_residual(p, om, k, parity, m=None, signed=False):
     c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
     rho_i0, rho_e, cT_e = _derived(p)
     m = m if m is not None else (0 if parity == "sausage" else 1)
@@ -281,7 +313,8 @@ def cylinder_residual(p, om, k, parity, m=None):
         return np.nan
     r1 = -1.0
     inside_xi = s.y[1, 0] / (rho(r1) * (shift(r1)**2 - alf2(r1)))  # (C1 P + D P')/C3
-    return abs(left_xi - inside_xi) * 100 / max(abs(left_xi), abs(inside_xi))
+    d = (left_xi - inside_xi) * 100 / max(abs(left_xi), abs(inside_xi))
+    return d if signed else abs(d)
 
 
 def _solve_scalar(f, scale, k):
@@ -304,12 +337,16 @@ def recheck_miss(args):
              else cylinder_residual)
     rel_gap = (abs(om_ours - om_ref) / om_ref if om_ours else 1e-2)
     w = min(max(3.0 * rel_gap, 8e-3), 4e-2)
-    om_star, r_star = _locate_dip(lambda o: resid(p, o, k, parity),
-                                  om_ref, w)
+    om_star, r_star, nan_frac = _locate_zero(
+        lambda o, s=False: resid(p, o, k, parity, signed=s), om_ref, w)
     out = dict(k=k, omega_ref=om_ref, omega_ours=om_ours, parity=parity,
-               omega_hiacc=om_star, resid_hiacc=r_star)
+               omega_hiacc=om_star, resid_hiacc=r_star, nan_frac=nan_frac)
     if om_star is None or r_star > 5.0:
         out["verdict"] = "irreproducible"
+        if nan_frac >= 0.5:
+            # the scheme's own integrator stalls across the window: a
+            # resonance/singular layer, not a locatable eigenvalue
+            out["singular"] = True
         return out
     dev_ref = abs(om_star - om_ref) / abs(om_ref)
     dev_ours = (abs(om_star - om_ours) / abs(om_star)
@@ -325,21 +362,50 @@ def recheck_miss(args):
     return out
 
 
-def _locate_dip(f, om0, rel_halfwidth, n=41, rounds=2):
-    """argmin of the residual within om0*(1 +- rel_halfwidth), refined."""
-    lo, hi = om0 * (1 - rel_halfwidth), om0 * (1 + rel_halfwidth)
-    best = (None, np.inf)
-    for _ in range(rounds + 1):
-        oms = np.linspace(lo, hi, n)
-        rs = np.array([f(o) for o in oms])
-        if not np.isfinite(rs).any():
-            return best
-        i = int(np.nanargmin(rs))
-        if rs[i] < best[1]:
-            best = (float(oms[i]), float(rs[i]))
-        span = oms[min(i + 2, n - 1)] - oms[max(i - 2, 0)]
-        lo, hi = oms[max(i - 2, 0)], oms[max(i - 2, 0)] + span
-    return best
+def _locate_zero(f, om0, rel_halfwidth, n=17):
+    """Nearest zero of the SIGNED mismatch within om0*(1 +- rel_halfwidth).
+
+    A 5-point pre-scan detects SINGULAR windows first: inside resonance
+    layers the scheme's integrator stalls (nfev budget -> NaN) at most
+    omegas, and each stalled evaluation costs ~2 s - so windows with >= 3/5
+    stalled points short-circuit to (None, inf, nan_frac) instead of paying
+    for the full scan. Otherwise scans n points, brentq-refines every
+    sign-change bracket, and keeps zeros whose |mismatch| is actually small
+    (< 5%) - a pole flips the sign too, but |f| stays large at the brentq
+    limit point, so poles are rejected. Returns (omega*, |residual|,
+    nan_frac) for the zero nearest om0, or the argmin scan point when no
+    true zero exists in the window (-> verdict `irreproducible`)."""
+    oms = np.linspace(om0 * (1 - rel_halfwidth), om0 * (1 + rel_halfwidth), n)
+    pre_idx = np.linspace(0, n - 1, 5).astype(int)
+    fs = np.full(n, np.nan)
+    for i in pre_idx:
+        fs[i] = f(oms[i], True)
+    n_bad = int(np.sum(~np.isfinite(fs[pre_idx])))
+    if n_bad >= 3:
+        return None, np.inf, n_bad / 5.0
+    for i in range(n):
+        if i not in pre_idx:
+            fs[i] = f(oms[i], True)
+    fin = np.isfinite(fs)
+    nan_frac = float(np.mean(~fin))
+    zeros = []
+    for i in range(n - 1):
+        if fin[i] and fin[i + 1] and fs[i] * fs[i + 1] < 0:
+            try:
+                z = brentq(lambda o: f(o, True), oms[i], oms[i + 1],
+                           xtol=1e-12 * abs(om0), maxiter=80)
+            except Exception:
+                continue
+            rz = abs(f(z, True))
+            if np.isfinite(rz) and rz < 5.0:
+                zeros.append((z, rz))
+    if zeros:
+        z, rz = min(zeros, key=lambda t: abs(t[0] - om0))
+        return float(z), float(rz), nan_frac
+    if not fin.any():
+        return None, np.inf, nan_frac
+    i = int(np.nanargmin(np.abs(fs)))
+    return float(oms[i]), float(abs(fs[i])), nan_frac
 
 
 def main():
