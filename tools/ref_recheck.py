@@ -122,6 +122,41 @@ CASES = {
 }
 
 
+def _case_params(name):
+    """CASES entry for ANY reproduce.py target, derived from its case
+    config. Only the equilibrium CONSTANTS come from the framework (they
+    are the same numbers as the generating reference files, already
+    oracle-tested); all numerics here stay pure scipy, so the arbiter
+    remains independent of the JAX solver."""
+    if name in CASES:
+        return CASES[name]
+    sys.path.insert(0, ".")
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reproduce import TARGETS
+    from eigensolver_tpu import cases as case_mod
+    spec = TARGETS.get(name)
+    if spec is None:
+        return None
+    fac, kw = spec["case"]
+    case = getattr(case_mod, fac)(**kw)
+    rg = case.regime
+    base = dict(c_i0=rg.c_i0, vA_i0=rg.vA_i0, c_e=rg.c_e, vA_e=rg.vA_e,
+                wavelengths=spec.get("grid", {}).get(
+                    "exterior_wavelengths", 3.0))
+    if fac.startswith("slab_density"):
+        return dict(engine="slab_density", width=kw["width"], **base)
+    if fac.startswith("slab_flow"):
+        return dict(engine="slab_flow", width=kw["width"],
+                    U_i0=kw.get("U_i0", 0.35), **base)
+    if fac.startswith("cylinder_density"):
+        return dict(engine="cylinder", width=kw["width"], U_i0=0.0, **base)
+    if fac.startswith("cylinder_flow"):
+        return dict(engine="cylinder", width=None, U_i0=kw.get("U", 0.05),
+                    flow_width=kw.get("width", 1.0), **base)
+    return None       # twisted: no pure-scipy engine (odeintz rotation terms)
+
+
 def _derived(p):
     c_i0, vA_i0, c_e, vA_e = p["c_i0"], p["vA_i0"], p["c_e"], p["vA_e"]
     rho_i0 = 1.0
@@ -422,9 +457,9 @@ def main():
     tasks = []
     for rep in reports:
         name = rep.get("target")
-        if name not in CASES:
+        p = _case_params(name) if name else None
+        if p is None:
             continue
-        p = CASES[name]
         for br in ("sausage", "kink"):
             mis = rep.get(br, {}).get("misses")
             if not mis:

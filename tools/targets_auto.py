@@ -157,7 +157,12 @@ def generate(existing_pickles=()):
     # amplitude U_i0=0.35 and the legacy shear form, identified in round 1 -
     # see reproduce.TARGETS slab_flow_1)
     base = _d("Slab/Non uniform flow/Example data")
-    for tag, width in [("125", 1.25), ("15", 1.5), ("3", 3.0), ("5", 5.0),
+    # flow_width125 is MISLABELED: scanning the generating width with the
+    # reference's own scheme (tools/ref_recheck.py slab_flow engine) against
+    # the shipped fast-kink/sausage roots puts the minimum squarely at
+    # W=2.5 (devs 2e-5..4.7e-4) while W=1.25 has no zeros at all (dev ~2e-2
+    # everywhere); W=1.5/1.0 are confirmed for flow_width15/flow_width1.
+    for tag, width in [("125", 2.5), ("15", 1.5), ("3", 3.0), ("5", 5.0),
                        ("1e5", 1e5)]:
         add(f"slab_flow_{tag}", "slab_flow_gaussian_coronal",
             dict(width=width, U_i0=0.35),
