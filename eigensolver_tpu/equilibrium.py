@@ -82,6 +82,13 @@ def continuum_bands(case: CaseConfig, n: int = 512):
                     "$U - c_T$ continuum"))
         out.append((float(np.min(u + ct)), float(np.max(u + ct)),
                     "$U + c_T$ continuum"))
+        if np.ptp(u) > 1e-12:
+            # the flow (critical-layer) continuum itself: omega = k U(x)
+            # has a regular singular point wherever the Doppler shift
+            # vanishes; sheared-flow scans record swath entries there
+            # (`flow_multiprocessor_coronal.py:317-318` D(x) pole)
+            out.append((float(np.min(u)), float(np.max(u)),
+                        "$U$ flow continuum"))
     return out
 
 
