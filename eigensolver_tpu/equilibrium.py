@@ -92,6 +92,42 @@ def continuum_bands(case: CaseConfig, n: int = 512):
     return out
 
 
+def genuine_continua(case: CaseConfig, n: int = 512, guard: float = 2e-4):
+    """Signed phase-speed ranges of the GENUINE interior continua - the
+    Doppler-shifted Alfven (U +- vA) and cusp (U +- cT) resonances (zeros of
+    the Hain-Lust D factor / the slab singular factors) plus the shear-flow
+    critical layer (omega = k U(x)). Unlike `continuum_bands` this excludes
+    the apparent c(x) band: omega = k c(x) is a removable singularity of the
+    vx/P_T formulations (the flux form integrates through it), and genuine
+    slow body modes live there. Used to mask bracket formation: inside these
+    ranges the discretized operator grows a dense point spectrum whose
+    eigenvalues shift with grid resolution (measured: cyl_flow_1 at
+    n_interior 1024/2048/4096 moves every in-band crossing by ~1e-4 while
+    the discrete mode at v=0.9505 stays put to <5e-5), so sign changes there
+    are not converged eigenvalues. Returns [] for twisted cases (their
+    continua depend on k and m through m v_phi / (k r)). `guard` pads each
+    range by a relative margin so edge modes hugging a continuum survive."""
+    import numpy as np
+    if case.twist_profile is not None:
+        return []
+    eq = make_equilibrium(case)
+    eps = case.grid.axis_epsilon if case.geometry.value == "cylinder" else 0.0
+    xs = jnp.linspace(eps, 1.0, n)
+    u = np.asarray(eq.U_i(xs), float)
+    out = []
+    for fn, label in ((eq.vA_i, "alfven"), (eq.cT_i, "cusp")):
+        v = np.asarray(fn(xs), float)
+        for s in (+1.0, -1.0):
+            lo, hi = float(np.min(u + s * v)), float(np.max(u + s * v))
+            if hi - lo > 1e-9 * max(1.0, abs(hi)):
+                out.append((lo, hi, f"{label}{'+' if s > 0 else '-'}"))
+    if np.ptp(u) > 1e-12:
+        out.append((float(np.min(u)), float(np.max(u)), "flow"))
+    g = guard
+    return [(lo + g * max(1.0, abs(lo)), hi - g * max(1.0, abs(hi)), lab)
+            for lo, hi, lab in out if hi - lo > 2 * g * max(1.0, abs(hi))]
+
+
 def make_equilibrium(case: CaseConfig) -> Equilibrium:
     rg = case.regime
     rho_e, g = rg.rho_e, rg.gamma

@@ -176,6 +176,16 @@ class SearchConfig:
     fuzz_v_ranges: Optional[tuple] = None
     # Pole pre-filter for the bracket stage (see find_brackets); None = off.
     pole_det_factor: Optional[float] = None
+    # SIGNED phase-speed ranges (lo, hi) where bracket formation is masked:
+    # inside genuine continua (Doppler Alfven/cusp, shear critical layer) the
+    # discretized operator has a dense resolution-dependent point spectrum -
+    # its sign changes are not converged eigenvalues but they exhaust the
+    # per-row bracket budget and crowd out real modes above the band edge
+    # (measured on cyl_flow_1: ~115 in-band crossings per row vs the budget
+    # of 24, hiding the confirmed discrete mode at v = 0.9505). Fuzz (swath
+    # parity) acceptance is NOT masked. Typically filled from
+    # `equilibrium.genuine_continua(case)`. None = no masking.
+    exclude_v_ranges: Optional[tuple] = None
 
 
 _PIPELINE_CACHE: dict = {}
@@ -198,7 +208,15 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
     @jax.jit
     def pipeline(omegas, ks, modes):
         det, valid, mism = ladder_scan(disp_batch_scan, omegas, ks, modes)
-        br = find_brackets(omegas, ks, det, valid, cfg.max_brackets_per_row,
+        det_br = det
+        if cfg.exclude_v_ranges:
+            v = omegas / ks[:, None]
+            excl = jnp.zeros(det.shape, bool)
+            for lo_v, hi_v, *_ in cfg.exclude_v_ranges:
+                excl = excl | ((v > lo_v) & (v < hi_v))
+            det_br = jnp.where(excl, jnp.nan, det)
+        br = find_brackets(omegas, ks, det_br, valid,
+                           cfg.max_brackets_per_row,
                            modes, pole_det_factor=cfg.pole_det_factor)
         n_saturated = jnp.sum(br.n_in_row > cfg.max_brackets_per_row)
         pr = bisect(disp_batch_polish, br, cfg.n_bisect, dtype=polish_dt)

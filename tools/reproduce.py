@@ -236,9 +236,14 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
         assert case.grid.ladder_shape == "uniform", (
             f"{name}: fuzz_stride parity requires a uniform omega ladder, "
             f"got {case.grid.ladder_shape!r}")
+    # mask bracket formation inside genuine continua (resolution-dependent
+    # dense point spectrum crowds out real modes; fuzz parity unaffected)
+    from eigensolver_tpu.equilibrium import genuine_continua
+    excl = tuple((lo, hi) for lo, hi, _ in genuine_continua(case))
     cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype,
                        max_brackets_per_row=spec.get("max_brackets", 8),
+                       exclude_v_ranges=excl or None,
                        fuzz_accept_pct=spec.get("fuzz_pct", 3.0),
                        fuzz_stride=fuzz_stride,
                        fuzz_v_ranges=spec.get("fuzz_v_ranges"),
