@@ -105,8 +105,10 @@ def genuine_continua(case: CaseConfig, n: int = 512, guard: float = 2e-4):
     n_interior 1024/2048/4096 moves every in-band crossing by ~1e-4 while
     the discrete mode at v=0.9505 stays put to <5e-5), so sign changes there
     are not converged eigenvalues. Returns [] for twisted cases (their
-    continua depend on k and m through m v_phi / (k r)). `guard` pads each
-    range by a relative margin so edge modes hugging a continuum survive."""
+    continua depend on k and m through m v_phi / (k r) - use
+    `genuine_continua_rowfn` for those, which masks per ladder row). `guard`
+    SHRINKS each range by a relative margin so edge modes hugging a continuum
+    survive."""
     import numpy as np
     if case.twist_profile is not None:
         return []
@@ -123,9 +125,49 @@ def genuine_continua(case: CaseConfig, n: int = 512, guard: float = 2e-4):
                 out.append((lo, hi, f"{label}{'+' if s > 0 else '-'}"))
     if np.ptp(u) > 1e-12:
         out.append((float(np.min(u)), float(np.max(u)), "flow"))
-    g = guard
-    return [(lo + g * max(1.0, abs(lo)), hi - g * max(1.0, abs(hi)), lab)
-            for lo, hi, lab in out if hi - lo > 2 * g * max(1.0, abs(hi))]
+    # one symmetric scale for both the shrink and the width filter, so a
+    # narrow band can never come out inverted (lo' > hi')
+    def _scale(lo, hi):
+        return max(1.0, abs(lo), abs(hi))
+    return [(lo + guard * _scale(lo, hi), hi - guard * _scale(lo, hi), lab)
+            for lo, hi, lab in out
+            if hi - lo > 2 * guard * _scale(lo, hi)]
+
+
+def genuine_continua_rowfn(case: CaseConfig, n: int = 192, guard: float = 2e-4):
+    """Row-local continuum ranges for the rotational-flow (twisted) family.
+
+    The twisted continua are (k, m)-dependent: the Doppler shift is
+    m v_phi(r)/r + k v_z(r) and the Alfven frequency m B_phi(r)/r +
+    k B_z(r)/sqrt(rho) (resonant denominators of the Hain-Lust chain,
+    `Twisted_photospheric_flow_sausage.py:482-530`), so no single
+    phase-speed band per case exists. Returns a jit-traceable
+    fn(k, m) -> (lo, hi) arrays of shape (4,): OMEGA ranges of the Doppler
+    Alfven+/- and cusp+/- continua for that ladder row, shrunk by `guard`
+    (relative) as in `genuine_continua`. Degenerate bands (zero width for
+    e.g. p=1 flow-only twist, where m v_phi/r is r-independent) come out
+    with lo > hi and match nothing. Returns None for non-twisted cases."""
+    if case.twist_profile is None:
+        return None
+    eq = make_equilibrium(case)
+    eps = case.grid.axis_epsilon if case.geometry.value == "cylinder" else 1e-3
+    rr = jnp.linspace(eps, 1.0, n)
+
+    def rowfn(k, m):
+        dop = m * eq.v_phi(rr) / rr + k * eq.U_i(rr)
+        w_a = m * eq.B_phi(rr) / rr + k * eq.B_i(rr) / jnp.sqrt(eq.rho_i(rr))
+        ci = eq.c_i(rr)
+        w_c = w_a * ci / jnp.sqrt(ci ** 2 + eq.vA_i(rr) ** 2)
+        los, his = [], []
+        for s in (w_a, -w_a, w_c, -w_c):
+            band = dop + s
+            lo, hi = jnp.min(band), jnp.max(band)
+            scale = jnp.maximum(1.0, jnp.maximum(jnp.abs(lo), jnp.abs(hi)))
+            los.append(lo + guard * scale)
+            his.append(hi - guard * scale)
+        return jnp.stack(los), jnp.stack(his)
+
+    return rowfn
 
 
 def make_equilibrium(case: CaseConfig) -> Equilibrium:

@@ -15,7 +15,7 @@ the gather rides ICI within a slice and DCN across hosts.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +23,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .config import CaseConfig
-from .roots import RootBranch, RootSet, dedup_roots
-from .search import SearchConfig, collect, search_rows
-from .sweep import (MODE_NAMES, SweepStats, build_ladders,
-                    make_dispersion_moded)
+from .roots import RootSet
+from .search import SearchConfig, search_rows
+from .sweep import SweepStats, build_ladders, make_dispersion_moded
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -76,10 +75,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "cand") -> Mesh:
 
 def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
                      search: Optional[SearchConfig] = None,
-                     modes=None) -> tuple[RootSet, SweepStats]:
+                     modes=None, refine_f64: bool = False
+                     ) -> tuple[RootSet, SweepStats]:
     """Sharded sweep: identical results to `sweep.run_case`, candidate rows
     distributed over the mesh. Padding rows duplicate the last row; their
-    roots are dropped by slicing before dedup."""
+    roots are dropped by slicing before dedup. refine_f64 re-bisects the
+    (host-gathered) accepted roots in float64 exactly as run_case does -
+    the shared `sweep.finalize_branches` tail."""
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -142,14 +144,10 @@ def run_case_sharded(case: CaseConfig, mesh: Optional[Mesh] = None,
         pr = type(pr)(*[None if x is None
                         else multihost_utils.process_allgather(x, tiled=True)
                         for x in pr])
-    om, kk, mm, md = collect(pr)
-    branches: Dict[str, RootBranch] = {}
-    for mode in modes:
-        sel = np.abs(md - float(mode)) < 0.5
-        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
-        name = MODE_NAMES.get(mode, f"m{mode}")
-        branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
-        stats.n_roots += len(om_m)
+    from .sweep import finalize_branches
+    branches = finalize_branches(pr, modes, case, search,
+                                 refine_f64=refine_f64)
+    stats.n_roots = sum(len(b) for b in branches.values())
     stats.n_candidates = true_rows * omegas.shape[1]
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats

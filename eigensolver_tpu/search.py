@@ -72,7 +72,8 @@ def ladder_scan(disp_batch: Callable, omegas: jnp.ndarray, ks: jnp.ndarray,
 def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
                   valid: jnp.ndarray, max_per_row: int,
                   modes: Optional[jnp.ndarray] = None,
-                  pole_det_factor: Optional[float] = None) -> BracketBatch:
+                  pole_det_factor: Optional[float] = None,
+                  mism: Optional[jnp.ndarray] = None) -> BracketBatch:
     """Select up to `max_per_row` sign-change brackets per ladder row.
 
     pole_det_factor: when set, drop sign changes whose SMALLER endpoint |det|
@@ -81,6 +82,14 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
     least one endpoint is small. This spends no polish budget on obvious pole
     crossings; final arbitration remains the residual-acceptance filter in
     `polish`. None disables the bound (every sign change is a candidate).
+
+    mism: optional (rows, n_omega) reference-style residual %. When given,
+    a saturated row keeps the `max_per_row` brackets with the SMALLEST
+    endpoint residual instead of the lowest-omega ones - continuum/pole
+    crossings carry large residuals while genuine roots sit at dips, so
+    the budget goes to likely eigenvalues rather than to whichever sign
+    changes happen to come first in the ladder (the failure mode behind
+    the r02 cyl_flow_1 band-top misses; see PARITY_r02).
     """
     finite = jnp.isfinite(det)
     ok = valid & finite
@@ -93,7 +102,13 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
         lo_mag = jnp.minimum(absd[:, :-1], absd[:, 1:])
         is_br = is_br & (lo_mag <= pole_det_factor * med)
     n_in_row = jnp.sum(is_br, axis=1)
-    order = jnp.argsort(~is_br, axis=1, stable=True)[:, :max_per_row]
+    if mism is not None:
+        big = jnp.where(jnp.isfinite(mism), mism, jnp.inf)
+        score = jnp.minimum(big[:, :-1], big[:, 1:])
+        score = jnp.where(is_br, score, jnp.inf)
+        order = jnp.argsort(score, axis=1, stable=True)[:, :max_per_row]
+    else:
+        order = jnp.argsort(~is_br, axis=1, stable=True)[:, :max_per_row]
     rows = jnp.arange(omegas.shape[0])[:, None]
     lo = omegas[rows, order]
     hi = omegas[rows, order + 1]
@@ -186,6 +201,12 @@ class SearchConfig:
     # parity) acceptance is NOT masked. Typically filled from
     # `equilibrium.genuine_continua(case)`. None = no masking.
     exclude_v_ranges: Optional[tuple] = None
+    # Row-local OMEGA-range masking for (k, m)-dependent continua (the
+    # rotational-flow family, whose Doppler Alfven/cusp ranges involve
+    # m v_phi(r)/r): a jit-traceable fn(k, m) -> (lo, hi) arrays of shape
+    # (n_bands,); bracket formation is masked for omega in any [lo_j, hi_j].
+    # Typically `equilibrium.genuine_continua_rowfn(case)`. None = off.
+    exclude_omega_rowfn: Optional[Callable] = None
 
 
 _PIPELINE_CACHE: dict = {}
@@ -214,10 +235,17 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
             excl = jnp.zeros(det.shape, bool)
             for lo_v, hi_v, *_ in cfg.exclude_v_ranges:
                 excl = excl | ((v > lo_v) & (v < hi_v))
-            det_br = jnp.where(excl, jnp.nan, det)
+            det_br = jnp.where(excl, jnp.nan, det_br)
+        if cfg.exclude_omega_rowfn is not None:
+            md = (jnp.ones_like(ks) if modes is None else modes)
+            lo_b, hi_b = jax.vmap(cfg.exclude_omega_rowfn)(ks, md)
+            in_band = ((omegas[:, :, None] > lo_b[:, None, :])
+                       & (omegas[:, :, None] < hi_b[:, None, :])).any(-1)
+            det_br = jnp.where(in_band, jnp.nan, det_br)
         br = find_brackets(omegas, ks, det_br, valid,
                            cfg.max_brackets_per_row,
-                           modes, pole_det_factor=cfg.pole_det_factor)
+                           modes, pole_det_factor=cfg.pole_det_factor,
+                           mism=mism)
         n_saturated = jnp.sum(br.n_in_row > cfg.max_brackets_per_row)
         pr = bisect(disp_batch_polish, br, cfg.n_bisect, dtype=polish_dt)
         accepted = (pr.mask & jnp.isfinite(pr.mismatch)
@@ -286,7 +314,20 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
     """
     rows = omegas.shape[0]
     n_omega = omegas.shape[1]
-    max_rows = max(row_bucket, (max_cells_per_dispatch // n_omega)
+    # The VMEM bound that motivates chunking is PER DEVICE: when the row axis
+    # is sharded over a mesh, each device holds only rows/n_dev of the batch,
+    # so scale the dispatch budget by the device count. This also keeps the
+    # sharded path out of the host-side row-slicing branch (which would place
+    # contiguous chunks on device subsets, serializing the mesh, and is
+    # fragile for multi-controller global arrays).
+    n_dev = 1
+    sharding = getattr(omegas, "sharding", None)
+    if sharding is not None:
+        try:
+            n_dev = len(sharding.device_set)
+        except Exception:
+            n_dev = 1
+    max_rows = max(row_bucket, (n_dev * max_cells_per_dispatch // n_omega)
                    // row_bucket * row_bucket)
     if rows > max_rows:
         outs = []
@@ -319,9 +360,10 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
         warnings.warn(
             f"{n_sat} ladder rows found more sign changes than "
             f"max_brackets_per_row={cfg.max_brackets_per_row}; only the "
-            f"lowest-omega brackets per row were polished - raise "
-            f"max_brackets_per_row (or set pole_det_factor) if roots near "
-            f"the upper band edge matter", stacklevel=2)
+            f"{cfg.max_brackets_per_row} smallest-residual brackets per row "
+            f"were polished - raise max_brackets_per_row (or mask continua "
+            f"via exclude_v_ranges/exclude_omega_rowfn) if dense bands "
+            f"matter", stacklevel=2)
     keep = rows * cfg.max_brackets_per_row
 
     def cut(x, n):

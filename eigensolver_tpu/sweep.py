@@ -296,6 +296,40 @@ def _audit_completeness(disp, ks, speeds, imag_band, om_d, k_d,
                         if comp["checked"] else None)
 
 
+def finalize_branches(pr, modes, case: CaseConfig, search: SearchConfig,
+                      refine_f64: bool = False) -> Dict[str, RootBranch]:
+    """Shared tail of run_case / parallel.run_case_sharded: host gather of
+    accepted roots, per-mode dedup, optional f64 re-bisection + re-judged
+    acceptance (search.refine_on_cpu; see SearchConfig.accept_pct_refined).
+    One definition so single-device and mesh-sharded sweeps cannot drift."""
+    om, kk, mm, md = collect(pr)
+    branches: Dict[str, RootBranch] = {}
+    for mode in modes:
+        sel = np.abs(md - float(mode)) < 0.5
+        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
+        if refine_f64 and len(om_m):
+            from .search import refine_on_cpu
+            om_m = refine_on_cpu(
+                lambda m=mode: make_dispersion(case, m, dtype=jnp.float64),
+                om_m, kk_m)
+            if search.accept_pct_refined is not None:
+                # re-judge acceptance at the f64-refined root (see
+                # SearchConfig.accept_pct_refined)
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    d64 = jax.jit(jax.vmap(
+                        make_dispersion(case, mode, dtype=jnp.float64)))
+                    res = d64(jnp.asarray(om_m, jnp.float64),
+                              jnp.asarray(kk_m, jnp.float64))
+                keep = (np.asarray(res.mismatch_pct) <
+                        search.accept_pct_refined) & np.asarray(res.valid)
+                om_m, kk_m = om_m[keep], kk_m[keep]
+            om_m, kk_m = dedup_roots(om_m, kk_m, rel_tol=case.tol.dedup_rel)
+        name = MODE_NAMES.get(mode, f"m{mode}")
+        branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
+    return branches
+
+
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
              modes=None, device=None, refine_f64: bool = False
              ) -> tuple[RootSet, SweepStats]:
@@ -331,32 +365,9 @@ def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
     pr = search_rows(disp_scan, disp_polish,
                      omegas_f.astype(scan_dt), ks_f.astype(scan_dt), search,
                      modes=modes_f.astype(scan_dt))
-    om, kk, mm, md = collect(pr)
-    branches: Dict[str, RootBranch] = {}
-    for mode in modes:
-        sel = np.abs(md - float(mode)) < 0.5
-        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
-        if refine_f64 and len(om_m):
-            from .search import refine_on_cpu
-            om_m = refine_on_cpu(
-                lambda m=mode: make_dispersion(case, m, dtype=jnp.float64),
-                om_m, kk_m)
-            if search.accept_pct_refined is not None:
-                # re-judge acceptance at the f64-refined root (see
-                # SearchConfig.accept_pct_refined)
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    d64 = jax.jit(jax.vmap(
-                        make_dispersion(case, mode, dtype=jnp.float64)))
-                    res = d64(jnp.asarray(om_m, jnp.float64),
-                              jnp.asarray(kk_m, jnp.float64))
-                keep = (np.asarray(res.mismatch_pct) <
-                        search.accept_pct_refined) & np.asarray(res.valid)
-                om_m, kk_m = om_m[keep], kk_m[keep]
-            om_m, kk_m = dedup_roots(om_m, kk_m, rel_tol=case.tol.dedup_rel)
-        name = MODE_NAMES.get(mode, f"m{mode}")
-        branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
-        stats.n_roots += len(om_m)
+    branches = finalize_branches(pr, modes, case, search,
+                                 refine_f64=refine_f64)
+    stats.n_roots = sum(len(b) for b in branches.values())
     stats.n_candidates = omegas_f.size
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats

@@ -6,7 +6,8 @@ Merges the outputs of tools/reproduce.py (--json) and tools/ref_recheck.py
 
   matched             (counted from the reproduce report)
   ref_discretization  the reference's OWN scheme, re-run with tight
-                      integrator tolerances (solve_ivp rtol=1e-11 vs the
+                      integrator tolerances (solve_ivp at ref_recheck.RTOL,
+                      interpolated into the evidence strings, vs the
                       odeint defaults the pickle was generated with), puts
                       the root where WE put it, not where the pickle does:
                       the pickle entry carries the reference's
@@ -25,11 +26,16 @@ Merges the outputs of tools/reproduce.py (--json) and tools/ref_recheck.py
   MISSED              everything else: a genuine miss of ours.
 
 Verdict precedence: the independent high-accuracy recheck dominates - a
-root the reference's own method reproducibly finds (verdict `genuine`) is
-MISSED even if it sits inside a continuum band (quasi-modes can leave real
-residual dips); continuum classification only excuses entries the recheck
-already failed to reproduce, and `both_off` (a dip exists but matches
-neither side) is counted as MISSED conservatively unless inside a band.
+root the reference's own method reproducibly finds (verdict `genuine`,
+with the dip reaching an actual zero: resid <= 0.5%) is MISSED even if it
+sits inside a continuum band; a `genuine` whose dip bottoms out ABOVE
+0.5% residual inside a band is a critical-layer quasi-mode (a true
+discrete root polishes to ~1e-6% under the recheck; a percent-level floor
+means the reference accepted a non-zero under its 2.5-3% tolerance) and
+counts continuum_artifact. Continuum classification otherwise only
+excuses entries the recheck already failed to reproduce, and `both_off`
+(a dip exists but matches neither side) is counted as MISSED
+conservatively unless inside a band.
 
 Usage:
   python tools/reproduce.py slab_ph_09 ... --json /tmp/repro.json
@@ -58,15 +64,23 @@ def case_continuum_bands(target_name):
     fac, kw = spec["case"]
     case = getattr(case_mod, fac)(**kw)
     bands = [(lo, hi, lab) for (lo, hi, lab) in continuum_bands(case)]
+    # Flow-free equilibria are v -> -v symmetric: emit explicit mirrored
+    # bands and match SIGNED v below. Flowing cases (signed U +- cT bands,
+    # asymmetric) must NOT be mirrored - |v| matching there would let a
+    # backward-mode miss be misclassified as continuum_artifact.
+    if not any("U" in lab for _, _, lab in bands):
+        bands += [(-hi, -lo, lab + " (mirror)") for lo, hi, lab in bands]
     return bands
 
 
 def in_band(v, bands, pad=0.002):
-    """Band hit with a small absolute pad: the reference's scan resolution
-    (band/35 .. band/90 seed spacing) lets swath entries land slightly
-    outside the exact continuum range."""
+    """Signed band hit with a small absolute pad: the reference's scan
+    resolution (band/35 .. band/90 seed spacing) lets swath entries land
+    slightly outside the exact continuum range. Mirror symmetry is handled
+    by `case_continuum_bands` emitting explicit negative bands for
+    flow-free cases."""
     for lo, hi, lab in bands:
-        if lo - pad <= abs(v) <= hi + pad or lo - pad <= v <= hi + pad:
+        if lo - pad <= v <= hi + pad:
             return lab
     return None
 
@@ -103,9 +117,21 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
                 verdict, why = "MISSED", None
                 if rc is not None:
                     rcv = rc["verdict"]
-                    if rcv == "genuine":
+                    if rcv == "genuine" and band and rc["resid_hiacc"] > 0.5:
+                        # the hi-acc rerun reproduces a residual DIP at the
+                        # shipped location but it bottoms out far above zero
+                        # (a true discrete root polishes to ~1e-6%): inside a
+                        # continuum band that is a regularisation-dependent
+                        # quasi-mode of the reference's adaptive integrator,
+                        # not an eigenvalue
+                        verdict = "continuum_artifact"
+                        why = (f"inside {band}; reference scheme's own dip "
+                               f"bottoms at {rc['resid_hiacc']:.3g}% (no "
+                               f"zero) - critical-layer quasi-mode")
+                    elif rcv == "genuine":
                         verdict = "MISSED"
-                        why = (f"reference scheme @rtol=1e-11 confirms root "
+                        why = (f"reference scheme {rc.get('rtol_note', '')}"
+                               f"confirms root "
                                f"(resid {rc['resid_hiacc']:.3g}%, dev_ref "
                                f"{rc.get('dev_ref')})")
                     elif rcv == "ref_error":
@@ -122,7 +148,8 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
                                    f"{rc['resid_hiacc']:.3g}%)")
                         else:
                             verdict = "ref_irreproducible"
-                            why = (f"reference's own scheme @rtol=1e-11: no "
+                            why = (f"reference's own scheme "
+                                   f"{rc.get('rtol_note', '')}: no "
                                    f"residual dip < 5% near the entry (best "
                                    f"{rc['resid_hiacc']:.3g}%)")
                     else:  # both_off

@@ -4,7 +4,7 @@
 For every reference-pickle root our sweep failed to match, re-run the
 REFERENCE'S OWN numerical scheme - endpoint-parity shooting with the
 exterior integrated from tiny initial conditions - but with tight
-integrator tolerances (`solve_ivp` rtol=1e-11, vs the reference's
+integrator tolerances (`solve_ivp` rtol=RTOL below, vs the reference's
 `odeint` LSODA defaults on a 500-point output grid), locate the residual
 dip near the shipped value, and classify the miss:
 
@@ -48,8 +48,10 @@ from scipy.optimize import brentq
 warnings.filterwarnings("ignore")
 
 GAMMA = 5.0 / 3.0
-# rtol 1e-10 is ~100x tighter than the odeint LSODA defaults the pickles
-# were generated with (1.49e-8). atol must stay FINITE: with atol ~ 0 LSODA's
+# RTOL is ~15x tighter than the odeint LSODA defaults the pickles were
+# generated with (1.49e-8); recorded verbatim into each detail row as
+# `rtol_note` so downstream evidence strings (tools/adjudicate.py) cannot
+# misstate the arbiter's accuracy. atol must stay FINITE: with atol ~ 0 LSODA's
 # relative-only control collapses the step at every solution zero crossing
 # (measured: one slab residual at atol=1e-300 exceeds 280 s; at 1e-14 it is
 # ~0.6 s). States are O(1e-8)..O(1), so 1e-14 keeps absolute error far below
@@ -375,7 +377,8 @@ def recheck_miss(args):
     om_star, r_star, nan_frac = _locate_zero(
         lambda o, s=False: resid(p, o, k, parity, signed=s), om_ref, w)
     out = dict(k=k, omega_ref=om_ref, omega_ours=om_ours, parity=parity,
-               omega_hiacc=om_star, resid_hiacc=r_star, nan_frac=nan_frac)
+               omega_hiacc=om_star, resid_hiacc=r_star, nan_frac=nan_frac,
+               rtol_note=f"@rtol={RTOL:g} ")
     if om_star is None or r_star > 5.0:
         out["verdict"] = "irreproducible"
         if nan_frac >= 0.5:

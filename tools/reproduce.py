@@ -192,7 +192,7 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
 
 
 def run_target(name, spec, scan_dtype="float32", n_omega=384,
-               refine_f64=False):
+               refine_f64=False, max_brackets_default=24):
     import jax.numpy as jnp
     from eigensolver_tpu import cases as case_mod
     from eigensolver_tpu.roots import load_pickle
@@ -237,13 +237,18 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
             f"{name}: fuzz_stride parity requires a uniform omega ladder, "
             f"got {case.grid.ladder_shape!r}")
     # mask bracket formation inside genuine continua (resolution-dependent
-    # dense point spectrum crowds out real modes; fuzz parity unaffected)
-    from eigensolver_tpu.equilibrium import genuine_continua
+    # dense point spectrum crowds out real modes; fuzz parity unaffected).
+    # Twisted cases get the row-local (k,m)-dependent variant instead.
+    from eigensolver_tpu.equilibrium import (genuine_continua,
+                                             genuine_continua_rowfn)
     excl = tuple((lo, hi) for lo, hi, _ in genuine_continua(case))
+    rowfn = genuine_continua_rowfn(case)
     cfg = SearchConfig(n_omega=n_omega, n_bisect=n_bisect, scan_dtype=scan_dtype,
                        polish_dtype=scan_dtype,
-                       max_brackets_per_row=spec.get("max_brackets", 8),
+                       max_brackets_per_row=spec.get("max_brackets",
+                                                     max_brackets_default),
                        exclude_v_ranges=excl or None,
+                       exclude_omega_rowfn=rowfn,
                        fuzz_accept_pct=spec.get("fuzz_pct", 3.0),
                        fuzz_stride=fuzz_stride,
                        fuzz_v_ranges=spec.get("fuzz_v_ranges"),
@@ -286,6 +291,11 @@ def main():
     ap.add_argument("--device", default=None)
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--jsonl", default=None,
+                    help="append one JSON line per finished target (crash-"
+                         "safe accumulation for multi-hour breadth runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip targets already present in --jsonl")
     ap.add_argument("--n-omega", type=int, default=384)
     ap.add_argument("--refine", action="store_true",
                     help="f64 host-CPU re-bisection of accepted roots")
@@ -308,7 +318,22 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     reports = []
+    done = set()
+    if args.resume and args.jsonl and os.path.exists(args.jsonl):
+        with open(args.jsonl) as f:
+            for line in f:
+                try:
+                    rep = json.loads(line)
+                except ValueError:
+                    continue
+                if "error" not in rep:
+                    done.add(rep["target"])
+                    reports.append(rep)
+        print(f"# resume: {len(done)} targets already in {args.jsonl}",
+              file=sys.stderr, flush=True)
     for t in (args.targets or list(TARGETS)):
+        if t in done:
+            continue
         print(f"# starting {t} on {jax.default_backend()} ({args.dtype})",
               file=sys.stderr, flush=True)
         try:
@@ -319,6 +344,11 @@ def main():
         print(json.dumps(rep))
         sys.stdout.flush()
         reports.append(rep)
+        if args.jsonl:
+            with open(args.jsonl, "a") as f:
+                f.write(json.dumps(rep) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
     if args.json:
         with open(args.json, "w") as f:
             json.dump(reports, f, indent=1)
