@@ -52,6 +52,43 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def case_rowfn(target_name):
+    """Row-local (k,m)-dependent continuum checker for twisted targets:
+    (rowfn, m) where rowfn(k, m) -> (lo, hi) OMEGA band arrays
+    (`equilibrium.genuine_continua_rowfn`), or (None, None) for the
+    static-band families."""
+    from eigensolver_tpu import cases as case_mod
+    from eigensolver_tpu.equilibrium import genuine_continua_rowfn
+    from tools.reproduce import TARGETS
+
+    spec = TARGETS.get(target_name)
+    if spec is None:
+        return None, None
+    fac, kw = spec["case"]
+    case = getattr(case_mod, fac)(**kw)
+    fn = genuine_continua_rowfn(case)
+    return fn, (case.modes[0] if fn is not None else None)
+
+
+_ROW_BAND_LABELS = ("Doppler alfven+ (row-local)", "Doppler alfven- (row-local)",
+                    "Doppler cusp+ (row-local)", "Doppler cusp- (row-local)")
+
+
+def in_row_band(omega_ref, k, rowfn, m, pad=0.002):
+    """Twisted-family band hit: omega_ref against the (k, m)-local Doppler
+    Alfven/cusp ranges, padded by `pad * k` (the same phase-speed pad as
+    `in_band`, converted to omega units)."""
+    import numpy as np
+    lo, hi = rowfn(float(k), float(m))
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    g = pad * abs(k)
+    for j in range(len(lo)):
+        if lo[j] - g <= omega_ref <= hi[j] + g:
+            return _ROW_BAND_LABELS[j]
+    return None
+
+
 def case_continuum_bands(target_name):
     """Continuum (v_lo, v_hi, label) bands for a reproduce.py target."""
     from eigensolver_tpu import cases as case_mod
@@ -92,6 +129,7 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
         if not name or "error" in rep:
             continue
         bands = case_continuum_bands(name)
+        rowfn, row_m = case_rowfn(name)
         rc_rows = {}
         for row in recheck_detail.get(name, []):
             key = (row["parity"], round(row["omega_ref"], 10),
@@ -114,6 +152,8 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
                     mis.get("rel_err", [])):
                 rc = rc_rows.get((br, round(om_r, 10), round(k, 10)))
                 band = in_band(v, bands, pad)
+                if band is None and rowfn is not None:
+                    band = in_row_band(om_r, k, rowfn, row_m, pad)
                 verdict, why = "MISSED", None
                 if rc is not None:
                     rcv = rc["verdict"]

@@ -156,7 +156,10 @@ def _case_params(name):
     if fac.startswith("cylinder_flow"):
         return dict(engine="cylinder", width=None, U_i0=kw.get("U", 0.05),
                     flow_width=kw.get("width", 1.0), **base)
-    return None       # twisted: no pure-scipy engine (odeintz rotation terms)
+    if fac == "cylinder_twisted_photospheric":
+        return dict(engine="twisted", v_twist=kw["v_twist"],
+                    power=kw["power"], m=kw["mode"], eps=0.01, **base)
+    return None
 
 
 def _derived(p):
@@ -354,6 +357,106 @@ def cylinder_residual(p, om, k, parity, m=None, signed=False):
     return d if signed else abs(d)
 
 
+# --------------------------------------------------------------------------
+# twisted (rotational-flow) engine: sympy-lambdified Hain-Luest chain +
+# LSODA flux-form shooting. The reference twisted solvers build exactly
+# these coefficients symbolically and integrate with complex odeintz
+# (`Twisted_photospheric_flow_sausage.py:482-577`); here the chain is
+# lambdified once per (v_twist, power, m) and integrated with tight-tol
+# LSODA, with the exterior from tiny ICs as in the reference (`:545-555` -
+# including its m_e < 0 skip, so leaky-region pickle entries come back NaN
+# -> irreproducible: the documented scheme cannot produce them).
+# --------------------------------------------------------------------------
+
+_TWIST_CHAINS = {}
+
+
+def _twisted_chain(p):
+    key = (p["v_twist"], p["power"], p["m"], p["c_i0"], p["vA_i0"])
+    ch = _TWIST_CHAINS.get(key)
+    if ch is not None:
+        return ch
+    import sympy as sym
+    r, om_s, k_s = sym.symbols("r omega k", positive=True)
+    gamma = sym.Rational(5, 3)
+    rho = sym.Float(1.0)
+    B_0 = p["vA_i0"] * sym.sqrt(rho)
+    P_0 = p["c_i0"] ** 2 * rho / gamma
+    v_iphi = p["v_twist"] * r ** p["power"]
+    P_i = rho * p["v_twist"] ** 2 * r ** (2 * p["power"]) / (2 * p["power"]) + P_0
+    c_i = sym.sqrt(P_i * gamma / rho)
+    vA_i = B_0 / sym.sqrt(rho)
+    m = p["m"]
+    shift = om_s - m * v_iphi / r
+    alfven = k_s * B_0 / sym.sqrt(rho)
+    cusp = alfven * c_i / sym.sqrt(c_i ** 2 + vA_i ** 2)
+    D = rho * (c_i ** 2 + vA_i ** 2) * (shift ** 2 - alfven ** 2) * (
+        shift ** 2 - cusp ** 2)
+    fb = k_s * B_0
+    Q = (-(shift ** 2 - alfven ** 2) * rho * v_iphi ** 2 / r)
+    T = rho * v_iphi * shift
+    C1 = (Q * shift ** 2
+          - 2 * m * (c_i ** 2 + vA_i ** 2) * (shift ** 2 - cusp ** 2) * T / r ** 2)
+    C2 = (shift ** 4 - (c_i ** 2 + vA_i ** 2) * (m ** 2 / r ** 2 + k_s ** 2)
+          * (shift ** 2 - cusp ** 2))
+    C3_diff = -rho * (v_iphi / r) ** 2
+    C3 = (D * (rho * (shift ** 2 - alfven ** 2) + r * sym.diff(C3_diff, r))
+          + (Q ** 2 - 4 * (c_i ** 2 + vA_i ** 2) * (shift ** 2 - cusp ** 2)
+             * T ** 2 / r ** 2))
+    F = r * D / C3
+    g = -sym.diff(r * C1 / C3, r) - r * (C2 - C1 ** 2 / C3) / D
+    ch = {n: sym.lambdify((r, om_s, k_s), e, "numpy") for n, e in
+          [("C1", C1), ("C3", C3), ("F", F), ("g", g),
+           ("invF", C3 / (r * D))]}
+    _TWIST_CHAINS[key] = ch
+    return ch
+
+
+def twisted_residual(p, om, k, parity, signed=False):
+    """% xi_r mismatch of the twisted scheme at (om, k); NaN where the
+    reference's own m_e < 0 guard skips the omega."""
+    rho_i0, rho_e, cT_e = _derived(p)
+    c_e, vA_e = p["c_e"], p["vA_e"]
+    m = p["m"]
+    m_e = ((k**2 * vA_e**2 - om**2) * (k**2 * c_e**2 - om**2)
+           / ((vA_e**2 + c_e**2) * (k**2 * cT_e**2 - om**2)))
+    if m_e < 0:
+        return np.nan
+    ch = _twisted_chain(p)
+    L = p["wavelengths"] * 2.0 * np.pi / k
+    se = _ivp(lambda r, P: [P[1], -P[1] / r + (m_e + m**2 / r**2) * P[0]],
+              (L, 1.0), [1e-8, 1e-8])
+    if se is None:
+        return np.nan
+    P_e, dP_e = se.y[0, -1], se.y[1, -1]
+    xi_e = (dP_e / P_e) / (rho_e * (om**2 - k**2 * vA_e**2))
+
+    eps = p.get("eps", 0.01)
+    F1 = ch["F"](1.0, om, k)
+
+    def rhs(r, y):
+        return [y[1] * ch["invF"](r, om, k), ch["g"](r, om, k) * y[0]]
+
+    s1 = _ivp(rhs, (1.0, eps), [1.0, 0.0])
+    s2 = _ivp(rhs, (1.0, eps), [0.0, F1])
+    if s1 is None or s2 is None:
+        return np.nan
+    xi1 = ch["C1"](1.0, om, k) / ch["C3"](1.0, om, k)
+    xi2 = F1
+    if parity == "sausage":
+        a1, a2 = s1.y[1, -1], s2.y[1, -1]      # P'(eps) = 0
+        J = 0.0
+    else:
+        a1, a2 = s1.y[0, -1], s2.y[0, -1]      # P(eps) = 0 (+ jump)
+        J = -rho_i0 * (p["v_twist"] * 1.0 ** p["power"]) ** 2
+    if a2 == 0 or not (np.isfinite(a1) and np.isfinite(a2)):
+        return np.nan
+    B = -(a1 + J * xi_e) / a2
+    xi_i = xi1 + B * xi2
+    d = (xi_e - xi_i) * 100 / max(abs(xi_e), abs(xi_i))
+    return d if signed else abs(d)
+
+
 def _solve_scalar(f, scale, k):
     """Robust scalar root of f(dv)=0: the problem is LINEAR in dv (linear ODE,
     linear BC), so two evaluations determine the root exactly."""
@@ -370,8 +473,9 @@ def _solve_scalar(f, scale, k):
 
 def recheck_miss(args):
     name, p, om_ref, k, parity, om_ours, tol = args
-    resid = (slab_residual if p["engine"].startswith("slab")
-             else cylinder_residual)
+    resid = {"slab_density": slab_residual, "slab_flow": slab_residual,
+             "cylinder": cylinder_residual,
+             "twisted": twisted_residual}[p["engine"]]
     rel_gap = (abs(om_ours - om_ref) / om_ref if om_ours else 1e-2)
     w = min(max(3.0 * rel_gap, 8e-3), 4e-2)
     om_star, r_star, nan_frac = _locate_zero(
