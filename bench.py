@@ -217,6 +217,11 @@ def main():
         "detail": {
             "backend": backend,
             "cases": cases_out,
+            # roots/s depends on each case's root density (a denser sweep
+            # grid finds more roots per second trivially); candidates/s
+            # (cands_per_s per case) is the stable cross-case throughput
+            # metric - compare THAT between engines/rounds.
+            "candidates_per_sec_per_chip": head["cands_per_s"],
             "ref_seed_s": round(ref_seed_s, 4),
             "ref_wall_est_s": round(ref_wall, 1),
         },

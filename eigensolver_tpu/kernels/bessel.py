@@ -108,13 +108,19 @@ def kve_ratio_pallas(z: jnp.ndarray, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     n = z.shape[0]
-    pad = (-n) % (_GRID_ROWS * _LANE)
+    # Block row count adapts to the batch: small batches pad only to the
+    # (8, 128) f32 tile (a 1024-element launch), large ones to full
+    # _GRID_ROWS rows - so a handful of exterior points no longer pays a
+    # fixed 16384-element launch (16x redundant VPU work).
+    rows_needed = -(-max(n, 1) // _LANE)
+    br = min(_GRID_ROWS, -(-rows_needed // _SUBLANE) * _SUBLANE)
+    pad = (-n) % (br * _LANE)
     zp = jnp.pad(z.astype(jnp.float32), (0, pad), constant_values=1.0)
     rows = zp.shape[0] // _LANE
     zp = zp.reshape(rows, _LANE)
-    grid = rows // _GRID_ROWS
+    grid = rows // br
 
-    block = pl.BlockSpec((_GRID_ROWS, _LANE), lambda i: (i, 0),
+    block = pl.BlockSpec((br, _LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     r0, r1 = pl.pallas_call(
         _kernel,
@@ -151,6 +157,12 @@ def _hot_dispatch(z):
         return "jax"
     if z.dtype != jnp.float32:
         return "jax"           # the VMEM tile is f32; f64 stays pure-JAX
+    if jax.config.jax_enable_x64:
+        # under global x64 (e.g. a host-side f64 refinement pass in the same
+        # process) Pallas lowers grid/index scalars as i64, which Mosaic
+        # cannot legalize ("func.return (i32, i64)" compile failure on TPU);
+        # the math here is f32 either way, so fall back to the XLA path
+        return "jax"
     return "pallas"
 
 

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Refined-accuracy measurement against ANALYTIC oracles (BASELINE accuracy
+row evidence).
+
+The BASELINE demands "eigenvalues matching the shipped pickles to 1e-6
+relative (within solver tolerance)". The shipped pickles cannot support a
+1e-6 comparison: re-running the reference's own scheme at tight tolerance
+moves its entries by 1e-3..4e-2 relative (`dev_ref` in the recheck
+artifacts) - percent-level acceptance noise is baked into the files. The
+well-posed 1e-6 check is against closed-form dispersion relations in the
+uniform limit (width=1e5 collapses the profile to a step to ~1e-10):
+
+  slab:     tanh/tan relations (`flow_multiprocessor.py:117-127`)
+  cylinder: J_m/K_m Bessel relation (`eigensolver_tpu.analytic.cylinder_relation`)
+
+For each family: run the f32 sweep + f64 host refinement exactly as the
+reproduction pass does, then for every refined root bisect the analytic
+relation in f64 around it and report the relative deviation.
+
+Usage: python tools/accuracy_report.py [--json ACCURACY_r03.json]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def analytic_deviation(rg, omegas, ks, branch_parity, geometry):
+    """Per-root relative deviation |om - om_analytic| / om_analytic, where
+    om_analytic is the f64 bisection zero of the analytic relation nearest
+    each refined root (NaN where no analytic zero brackets within 0.5%)."""
+    from eigensolver_tpu.analytic import cylinder_relation, slab_relation
+    devs = []
+    for om, k in zip(omegas, ks):
+        if geometry == "slab":
+            f = lambda v: slab_relation(rg, np.asarray([v]), k,
+                                        branch_parity)[0]
+        else:
+            f = lambda v: cylinder_relation(rg, np.asarray([v]), k,
+                                            branch_parity)[0]
+        v0 = om / k
+        lo, hi = v0 * (1 - 5e-3), v0 * (1 + 5e-3)
+        flo, fhi = f(lo), f(hi)
+        if not (np.isfinite(flo) and np.isfinite(fhi)) or \
+                np.sign(flo) == np.sign(fhi):
+            devs.append(np.nan)
+            continue
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            fm = f(mid)
+            if not np.isfinite(fm):
+                break
+            if np.sign(fm) == np.sign(flo):
+                lo, flo = mid, fm
+            else:
+                hi = mid
+        v_star = 0.5 * (lo + hi)
+        devs.append(abs(v0 - v_star) / abs(v_star))
+    return np.asarray(devs)
+
+
+def run_family(name, case, speeds, geometry, n_omega=256):
+    from eigensolver_tpu.search import SearchConfig
+    from eigensolver_tpu.sweep import run_case
+
+    case = dataclasses.replace(case, speeds=speeds)
+    cfg = SearchConfig(n_omega=n_omega, n_bisect=18, scan_dtype="float32",
+                       polish_dtype="float32")
+    t0 = time.time()
+    rs, st = run_case(case, cfg, refine_f64=True)
+    wall = time.time() - t0
+    out = {"family": name, "wall_s": round(wall, 1),
+           "n_roots": sum(rs.counts().values()), "branches": {}}
+    for bname, br in rs.branches.items():
+        if not len(br):
+            continue
+        parity = 0 if bname == "sausage" else 1
+        devs = analytic_deviation(case.regime, np.asarray(br.omegas),
+                                  np.asarray(br.ks), parity, geometry)
+        ok = np.isfinite(devs)
+        out["branches"][bname] = {
+            "n": int(len(devs)), "n_checked": int(ok.sum()),
+            "median_rel_dev": float(np.median(devs[ok])) if ok.any() else None,
+            "p90_rel_dev": float(np.quantile(devs[ok], 0.9)) if ok.any() else None,
+            "max_rel_dev": float(np.max(devs[ok])) if ok.any() else None,
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    from eigensolver_tpu import cases
+
+    reports = []
+    reports.append(run_family(
+        "slab_photospheric_uniform_limit",
+        cases.slab_density_photospheric(width=1e5),
+        (0.905, 0.93, 0.955, 0.98, 0.9995), "slab"))
+    reports.append(run_family(
+        "slab_coronal_uniform_limit",
+        cases.slab_density_coronal(width=1e5),
+        (1.05, 1.1, 1.15, 1.199), "slab"))
+    reports.append(run_family(
+        "cylinder_coronal_uniform_limit",
+        cases.cylinder_density_coronal(width=1e5),
+        (1.05, 1.3, 1.6, 1.9, 1.999), "cylinder"))
+    for r in reports:
+        print(json.dumps(r))
+    if args.json:
+        json.dump(reports, open(args.json, "w"), indent=1)
+        print(f"# wrote {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
