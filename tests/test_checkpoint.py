@@ -30,6 +30,7 @@ def test_checkpointed_matches_plain(tmp_path):
             rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_resume_skips_durable_blocks(tmp_path):
     case = _case()
     cfg = SearchConfig(n_omega=96, n_bisect=45)

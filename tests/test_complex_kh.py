@@ -89,6 +89,7 @@ def test_kh_completeness_counts_the_uniform_grower():
     assert comp["missed"] == 0, comp
 
 
+@pytest.mark.slow
 def test_kh_stable_below_threshold():
     """With weak flow the same search finds no growing modes."""
     case = cases.slab_flow_complex_coronal(U_i0=0.1)

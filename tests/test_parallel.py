@@ -55,9 +55,11 @@ def test_graft_dryrun():
     assert out[0].shape == (1024,)
 
 
+@pytest.mark.slow
 def test_sharded_refine_f64_matches_single(small_case):
     """f64 refinement now runs under a mesh too (shared finalize_branches
-    tail, VERDICT r02 weak #6): sharded+refined == single+refined exactly."""
+    tail, VERDICT r02 weak #6): sharded+refined == single+refined exactly.
+    Slow tier; gates the BASELINE accuracy x scaling joint claim."""
     cfg = SearchConfig(n_omega=96, n_bisect=20, scan_dtype="float32",
                        polish_dtype="float32")
     rs1, _ = run_case(small_case, cfg, refine_f64=True)
