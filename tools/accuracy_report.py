@@ -86,6 +86,12 @@ def run_family(name, case, speeds, geometry, n_omega=256):
         out["branches"][bname] = {
             "n": int(len(devs)), "n_checked": int(ok.sum()),
             "median_rel_dev": float(np.median(devs[ok])) if ok.any() else None,
+            # the > 1e-3 tail is ATTRIBUTION error of this checker, not
+            # solver error: near mode-accumulation points adjacent analytic
+            # zeros sit inside the +-0.5% bisection bracket and the root is
+            # matched to its neighbour
+            "frac_below_1e6": (float(np.mean(devs[ok] < 1e-6))
+                               if ok.any() else None),
             "p90_rel_dev": float(np.quantile(devs[ok], 0.9)) if ok.any() else None,
             "max_rel_dev": float(np.max(devs[ok])) if ok.any() else None,
         }
@@ -95,9 +101,15 @@ def run_family(name, case, speeds, geometry, n_omega=256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument("--device", default=None)
     args = ap.parse_args()
 
     import jax
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    # refine_on_cpu needs real f64 buffers (without x64 JAX silently
+    # truncates and the refinement is a no-op)
+    jax.config.update("jax_enable_x64", True)
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -110,14 +122,19 @@ def main():
         "slab_photospheric_uniform_limit",
         cases.slab_density_photospheric(width=1e5),
         (0.905, 0.93, 0.955, 0.98, 0.9995), "slab"))
+    # slow body modes live between cT_i0=0.588 and c_i0=1; the fast
+    # (kink surface) branch sits near c_kink ~ 1.77
     reports.append(run_family(
         "slab_coronal_uniform_limit",
         cases.slab_density_coronal(width=1e5),
-        (1.05, 1.1, 1.15, 1.199), "slab"))
+        (0.62, 0.75, 0.9, 0.9995, 1.7, 1.78, 1.85), "slab"))
+    # body-mode bands of the uniform coronal cylinder: (cT_i0=0.894, c_i0=1)
+    # slow, (vA_i0=2, vA_e=5) fast
     reports.append(run_family(
         "cylinder_coronal_uniform_limit",
         cases.cylinder_density_coronal(width=1e5),
-        (1.05, 1.3, 1.6, 1.9, 1.999), "cylinder"))
+        (0.9, 0.95, 0.9995, 2.05, 2.5, 3.0, 3.5, 4.0, 4.5, 4.95),
+        "cylinder"))
     for r in reports:
         print(json.dumps(r))
     if args.json:

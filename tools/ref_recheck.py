@@ -561,12 +561,19 @@ def main():
     args = ap.parse_args()
 
     reports = json.load(open(args.report_json))
+    try:
+        from reproduce import TARGETS as _T
+    except Exception:
+        _T = {}
     tasks = []
     for rep in reports:
         name = rep.get("target")
         p = _case_params(name) if name else None
         if p is None:
             continue
+        # per-target match tolerance (twisted targets use 8e-3: the
+        # reference's first-acceptance offset is percent-level)
+        tol = _T.get(name, {}).get("tol", args.tol)
         for br in ("sausage", "kink"):
             mis = rep.get(br, {}).get("misses")
             if not mis:
@@ -575,7 +582,7 @@ def main():
             if args.max_per_branch:
                 rows = rows[:args.max_per_branch]
             for om_r, k, om_o in rows:
-                tasks.append((name, p, om_r, k, br, om_o, args.tol))
+                tasks.append((name, p, om_r, k, br, om_o, tol))
 
     print(f"# rechecking {len(tasks)} misses on {args.jobs} processes",
           file=sys.stderr)

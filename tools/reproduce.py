@@ -105,7 +105,7 @@ TARGETS = {
         speeds=(-4.999, -2.75325, -2.0, -1.0, -0.8944, -0.51,
                 0.51, 0.8944, 1.0, 2.0, 2.75325, 4.999),
         n_omega=1519, fuzz_stride=22, fuzz_pct=6.0, max_brackets=24,
-        fuzz_v_ranges=((0.8944, 4.999),),
+        fuzz_v_ranges=((0.8944, 4.999),), refine_scan_accept=2.0,
     ),
     # The twisted scripts accept the FIRST scanned omega whose xi residual is
     # under P_tol=2.5% (`Twisted_photospheric_nonlinear_flow_kink_fast.py:
@@ -254,8 +254,13 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
                        fuzz_v_ranges=spec.get("fuzz_v_ranges"),
                        # with --refine, loosen the f32 filter and re-judge at
                        # the f64 zero (needle quasi-resonances; see
-                       # SearchConfig.accept_pct_refined)
-                       accept_pct=25.0 if refine_f64 else 1.0,
+                       # SearchConfig.accept_pct_refined). The loose scan
+                       # filter is per-target: flooding dedup with 25%-residual
+                       # brackets can absorb fuzz-parity entries (measured on
+                       # cyl_flow_1: kink matches drop 373 -> 309), so targets
+                       # without needle modes keep a tight scan filter.
+                       accept_pct=(spec.get("refine_scan_accept", 25.0)
+                                   if refine_f64 else 1.0),
                        accept_pct_refined=3.0 if refine_f64 else None)
     t0 = time.time()
     rs, st = run_case(case, cfg, refine_f64=refine_f64)

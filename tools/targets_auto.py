@@ -123,14 +123,14 @@ def generate(existing_pickles=()):
     done = {os.path.normpath(p) for p in existing_pickles}
 
     def add(name, factory, kwargs, pkl, grid=None, case_extra=None,
-            tol=3e-3, window_kw=None, modes=None):
+            tol=3e-3, window_kw=None, modes=None, extra=None):
         if os.path.normpath(pkl) in done or not os.path.exists(pkl):
             return
         targets[name] = dict(
             case=(factory, kwargs), pickle=pkl, auto_windows=window_kw or {},
             tol=tol, **({"grid": grid} if grid else {}),
             **({"case_extra": case_extra} if case_extra else {}),
-            **({"modes": modes} if modes else {}))
+            **({"modes": modes} if modes else {}), **(extra or {}))
 
     ext7 = dict(exterior_method="numeric", exterior_wavelengths=7.0)
     ext3 = dict(exterior_method="numeric", exterior_wavelengths=3.0)
@@ -194,13 +194,19 @@ def generate(existing_pickles=()):
     # Gaussian width from the file tag - flow_1e5 is the uniform-flow limit,
     # noflow is U=0; identified by the analysis scripts,
     # `analysis_cylinder_flow_coronal.py:117,121`)
+    # refine_scan_accept 2.0: the loose 25% refine-mode scan filter floods
+    # dedup and absorbs fuzz-parity entries on this family (see
+    # reproduce.TARGETS cyl_flow_1 note)
     base = _d("Cylinder/Non-uniform flow/Coronal/Example data")
     add("cyl_flow_06", "cylinder_flow_coronal", dict(U=0.05, width=0.6),
-        f"{base}/Cylindrical_coronal_flow_06.pickle")
+        f"{base}/Cylindrical_coronal_flow_06.pickle",
+        extra=dict(refine_scan_accept=2.0))
     add("cyl_flow_1e5", "cylinder_flow_coronal", dict(U=0.05, width=1e5),
-        f"{base}/Cylindrical_coronal_flow_1e5.pickle")
+        f"{base}/Cylindrical_coronal_flow_1e5.pickle",
+        extra=dict(refine_scan_accept=2.0))
     add("cyl_flow_noflow", "cylinder_flow_coronal", dict(U=0.0, width=1.0),
-        f"{base}/Cylindrical_coronal_flow_noflow.pickle")
+        f"{base}/Cylindrical_coronal_flow_noflow.pickle",
+        extra=dict(refine_scan_accept=2.0))
 
     # --- rotational flow (twisted) grid: every remaining
     # vtwist{V}_power{P}_{branch} pickle; m=1 for *kink*, m=0 for *sausage*
