@@ -43,6 +43,12 @@ class PolishResult(NamedTuple):
     mismatch: jnp.ndarray  # (B,) reference-style % residual at the root
     mask: jnp.ndarray      # (B,) bracket validity (pre-acceptance)
     mode: Optional[jnp.ndarray] = None
+    # (B,) bool: entry is a reference-parity FUZZ (acceptance-swath) record,
+    # not a polished root - it must stay AT the reference's scan seed, so
+    # f64 refinement skips it (a swath point bisected to the nearest f64
+    # zero would drift off the seed the reference recorded). None = all
+    # polished.
+    fuzz: Optional[jnp.ndarray] = None
 
 
 def _call_disp(disp_batch, omega, k, mode):
@@ -250,7 +256,8 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
         pr = bisect(disp_batch_polish, br, cfg.n_bisect, dtype=polish_dt)
         accepted = (pr.mask & jnp.isfinite(pr.mismatch)
                     & (pr.mismatch < cfg.accept_pct))
-        pr = pr._replace(mask=accepted)
+        pr = pr._replace(mask=accepted,
+                         fuzz=jnp.zeros_like(accepted))
         if cfg.fuzz_accept_pct is None:
             return pr, None, n_saturated
         # reference-parity swath acceptance: keep local minima of the
@@ -283,7 +290,8 @@ def _search_pipeline(disp_batch_scan: Callable, disp_batch_polish: Callable,
             k=jnp.repeat(ks, n_fuzz),
             mismatch=mism_f.reshape(-1),
             mask=keep.reshape(-1),
-            mode=None if modes is None else jnp.repeat(modes, n_fuzz))
+            mode=None if modes is None else jnp.repeat(modes, n_fuzz),
+            fuzz=jnp.ones(om_f.size, bool))
         return pr, fuzz, n_saturated
 
     _PIPELINE_CACHE[key] = pipeline
@@ -344,7 +352,9 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
             mismatch=jnp.concatenate([o.mismatch for o in outs]),
             mask=jnp.concatenate([o.mask for o in outs]),
             mode=(None if outs[0].mode is None
-                  else jnp.concatenate([o.mode for o in outs])))
+                  else jnp.concatenate([o.mode for o in outs])),
+            fuzz=(None if outs[0].fuzz is None
+                  else jnp.concatenate([o.fuzz for o in outs])))
     pad = (-rows) % row_bucket
     if pad:
         omegas = jnp.concatenate(
@@ -371,7 +381,7 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
 
     pr = PolishResult(omega=pr.omega[:keep], k=pr.k[:keep],
                       mismatch=pr.mismatch[:keep], mask=pr.mask[:keep],
-                      mode=cut(pr.mode, keep))
+                      mode=cut(pr.mode, keep), fuzz=cut(pr.fuzz, keep))
     if fuzz is None:
         return pr
     n_fuzz = -(-n_omega // cfg.fuzz_stride)   # ceil: strided subsample width
@@ -387,17 +397,23 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
         k=jnp.concatenate([pr.k, fuzz.k[:kf]]),
         mismatch=jnp.concatenate([pr.mismatch, fuzz.mismatch[:kf]]),
         mask=jnp.concatenate([pr.mask, fuzz.mask[:kf]]),
-        mode=cat(pr.mode, fuzz.mode, kf))
+        mode=cat(pr.mode, fuzz.mode, kf),
+        fuzz=cat(pr.fuzz, fuzz.fuzz, kf))
 
 
-def collect(pr: PolishResult):
-    """Device->host gather of accepted roots: (omega, k, mismatch[, mode])."""
+def collect(pr: PolishResult, with_fuzz: bool = False):
+    """Device->host gather of accepted roots: (omega, k, mismatch[, mode]
+    [, fuzz_flag])."""
     mask = np.asarray(pr.mask)
     out = (np.asarray(pr.omega)[mask], np.asarray(pr.k)[mask],
            np.asarray(pr.mismatch)[mask])
-    if pr.mode is None:
-        return out
-    return out + (np.asarray(pr.mode)[mask],)
+    if pr.mode is not None:
+        out = out + (np.asarray(pr.mode)[mask],)
+    if with_fuzz:
+        fz = (np.zeros(int(mask.sum()), bool) if pr.fuzz is None
+              else np.asarray(pr.fuzz)[mask])
+        out = out + (fz,)
+    return out
 
 
 def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,

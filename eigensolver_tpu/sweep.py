@@ -302,29 +302,45 @@ def finalize_branches(pr, modes, case: CaseConfig, search: SearchConfig,
     accepted roots, per-mode dedup, optional f64 re-bisection + re-judged
     acceptance (search.refine_on_cpu; see SearchConfig.accept_pct_refined).
     One definition so single-device and mesh-sharded sweeps cannot drift."""
-    om, kk, mm, md = collect(pr)
+    om, kk, mm, md, fz = collect(pr, with_fuzz=True)
     branches: Dict[str, RootBranch] = {}
     for mode in modes:
         sel = np.abs(md - float(mode)) < 0.5
-        om_m, kk_m = dedup_roots(om[sel], kk[sel], rel_tol=case.tol.dedup_rel)
-        if refine_f64 and len(om_m):
-            from .search import refine_on_cpu
-            om_m = refine_on_cpu(
-                lambda m=mode: make_dispersion(case, m, dtype=jnp.float64),
-                om_m, kk_m)
-            if search.accept_pct_refined is not None:
-                # re-judge acceptance at the f64-refined root (see
-                # SearchConfig.accept_pct_refined)
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    d64 = jax.jit(jax.vmap(
-                        make_dispersion(case, mode, dtype=jnp.float64)))
-                    res = d64(jnp.asarray(om_m, jnp.float64),
-                              jnp.asarray(kk_m, jnp.float64))
-                keep = (np.asarray(res.mismatch_pct) <
-                        search.accept_pct_refined) & np.asarray(res.valid)
-                om_m, kk_m = om_m[keep], kk_m[keep]
+        if refine_f64:
+            # refine only POLISHED roots: fuzz (reference-parity swath)
+            # entries must stay at the reference's scan seeds - an f64
+            # re-bisection would yank them onto the nearest determinant zero
+            # (often a continuum-forest crossing), off the seed the
+            # reference recorded (measured: cyl_flow_1 kink matches drop
+            # 373 -> 309 when fuzz entries are refined)
+            pol = sel & ~fz
+            om_m, kk_m = dedup_roots(om[pol], kk[pol],
+                                     rel_tol=case.tol.dedup_rel)
+            if len(om_m):
+                from .search import refine_on_cpu
+                om_m = refine_on_cpu(
+                    lambda m=mode: make_dispersion(case, m,
+                                                   dtype=jnp.float64),
+                    om_m, kk_m)
+                if search.accept_pct_refined is not None:
+                    # re-judge acceptance at the f64-refined root (see
+                    # SearchConfig.accept_pct_refined)
+                    cpu = jax.devices("cpu")[0]
+                    with jax.default_device(cpu):
+                        d64 = jax.jit(jax.vmap(
+                            make_dispersion(case, mode, dtype=jnp.float64)))
+                        res = d64(jnp.asarray(om_m, jnp.float64),
+                                  jnp.asarray(kk_m, jnp.float64))
+                    keep = (np.asarray(res.mismatch_pct) <
+                            search.accept_pct_refined) & np.asarray(res.valid)
+                    om_m, kk_m = om_m[keep], kk_m[keep]
+            fzs = sel & fz
+            om_m = np.concatenate([om_m, om[fzs]])
+            kk_m = np.concatenate([kk_m, kk[fzs]])
             om_m, kk_m = dedup_roots(om_m, kk_m, rel_tol=case.tol.dedup_rel)
+        else:
+            om_m, kk_m = dedup_roots(om[sel], kk[sel],
+                                     rel_tol=case.tol.dedup_rel)
         name = MODE_NAMES.get(mode, f"m{mode}")
         branches[name] = RootBranch(omegas=om_m, ks=kk_m).sorted_by_k()
     return branches
