@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--md", default=None)
     args = ap.parse_args()
 
+    # band computation is pure host work; never touch the (possibly busy)
+    # TPU tunnel
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     reports = {}
     refined_src = {}
     for path in args.repro:
