@@ -108,13 +108,21 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
         lo_mag = jnp.minimum(absd[:, :-1], absd[:, 1:])
         is_br = is_br & (lo_mag <= pole_det_factor * med)
     n_in_row = jnp.sum(is_br, axis=1)
+    # Top-K selection instead of a full-row argsort: XLA's variadic sort of a
+    # (rows, n_omega) float key costs ~40% of the whole slab sweep on TPU
+    # (measured r03 -> r04; the r02->r03 throughput regression), while TopK
+    # with k = max_per_row is a cheap partial reduction. XLA TopK breaks ties
+    # toward lower indices, matching the previous stable argsort order.
     if mism is not None:
         big = jnp.where(jnp.isfinite(mism), mism, jnp.inf)
         score = jnp.minimum(big[:, :-1], big[:, 1:])
-        score = jnp.where(is_br, score, jnp.inf)
-        order = jnp.argsort(score, axis=1, stable=True)[:, :max_per_row]
+        # clamp genuine brackets to a large FINITE score so a bracket whose
+        # both endpoint residuals are non-finite still outranks every
+        # non-bracket column (which carry inf), instead of tying with them
+        score = jnp.where(is_br, jnp.minimum(score, 1e30), jnp.inf)
+        _, order = jax.lax.top_k(-score, max_per_row)
     else:
-        order = jnp.argsort(~is_br, axis=1, stable=True)[:, :max_per_row]
+        _, order = jax.lax.top_k(is_br.astype(jnp.int32), max_per_row)
     rows = jnp.arange(omegas.shape[0])[:, None]
     lo = omegas[rows, order]
     hi = omegas[rows, order + 1]
@@ -332,7 +340,10 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
     sharding = getattr(omegas, "sharding", None)
     if sharding is not None:
         try:
-            n_dev = len(sharding.device_set)
+            # replicated arrays put the FULL batch on every device, so the
+            # per-device VMEM budget must not be scaled by the device count
+            if not sharding.is_fully_replicated:
+                n_dev = len(sharding.device_set)
         except Exception:
             n_dev = 1
     max_rows = max(row_bucket, (n_dev * max_cells_per_dispatch // n_omega)
@@ -403,16 +414,39 @@ def search_rows(disp_batch_scan: Callable, disp_batch_polish: Callable,
 
 def collect(pr: PolishResult, with_fuzz: bool = False):
     """Device->host gather of accepted roots: (omega, k, mismatch[, mode]
-    [, fuzz_flag])."""
-    mask = np.asarray(pr.mask)
-    out = (np.asarray(pr.omega)[mask], np.asarray(pr.k)[mask],
-           np.asarray(pr.mismatch)[mask])
+    [, fuzz_flag]).
+
+    All result leaves are packed into ONE device array and fetched with a
+    single transfer: each separate `np.asarray(device_array)` costs a full
+    host<->device round-trip (~25 ms through the axon remote tunnel), and the
+    six per-leaf fetches used to dominate the whole slab sweep's host tail
+    (0.15 s of a 0.55 s wall - the r03 throughput regression's second half).
+    """
+    leaves = [pr.omega, pr.k, pr.mismatch, pr.mask]
     if pr.mode is not None:
-        out = out + (np.asarray(pr.mode)[mask],)
+        leaves.append(pr.mode)
+    if pr.fuzz is not None:
+        leaves.append(pr.fuzz)
+    if all(isinstance(x, jax.Array) for x in leaves):
+        dt = jnp.result_type(pr.omega.dtype, pr.k.dtype, pr.mismatch.dtype)
+        packed = np.asarray(jnp.stack([x.astype(dt) for x in leaves]))
+        host = list(packed)
+    else:
+        host = [np.asarray(x) for x in leaves]
+    om, kk, mm = host[0], host[1], host[2]
+    mask = host[3].astype(bool)
+    i = 4
+    md = None
+    if pr.mode is not None:
+        md = host[i]
+        i += 1
+    fz = host[i].astype(bool) if pr.fuzz is not None else None
+    out = (om[mask], kk[mask], mm[mask])
+    if md is not None:
+        out = out + (md[mask],)
     if with_fuzz:
-        fz = (np.zeros(int(mask.sum()), bool) if pr.fuzz is None
-              else np.asarray(pr.fuzz)[mask])
-        out = out + (fz,)
+        out = out + ((np.zeros(int(mask.sum()), bool) if fz is None
+                      else fz[mask]),)
     return out
 
 

@@ -347,42 +347,55 @@ def finalize_branches(pr, modes, case: CaseConfig, search: SearchConfig,
 
 
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
-             modes=None, device=None, refine_f64: bool = False
-             ) -> tuple[RootSet, SweepStats]:
+             modes=None, device=None, refine_f64: bool = False,
+             timer=None) -> tuple[RootSet, SweepStats]:
     """Single-process sweep of one case. Returns (RootSet, SweepStats).
 
     refine_f64: after an f32 on-device sweep, re-bisect the accepted roots in
     float64 on the host CPU (search.refine_on_cpu) to reach ~1e-7 relative
-    (TPU v5e has no native f64)."""
+    (TPU v5e has no native f64).
+
+    timer: optional `utils.StageTimer`; accumulates wall time of the three
+    sweep stages (ladders / device pipeline / host finalize) so throughput
+    shifts are attributable per-stage rather than discovered rounds later
+    in the headline number. `tools/profile_pipeline.py` drills inside the
+    fused device stage."""
     search = search or SearchConfig(
         n_omega=case.grid.n_omega_ladder,
         n_bisect=case.grid.n_bisect,
     )
+    if timer is None:
+        from .utils import StageTimer
+        timer = StageTimer()           # unobserved, but keeps one code path
     modes = tuple(modes) if modes is not None else case.modes
     scan_dt = jnp.dtype(search.scan_dtype)
     polish_dt = jnp.dtype(search.polish_dtype)
 
-    omegas, ks = build_ladders(case, search.n_omega)
-    rows = omegas.shape[0]
+    with timer.stage("ladders"):
+        omegas, ks = build_ladders(case, search.n_omega)
+        rows = omegas.shape[0]
 
-    # fuse all mode families into one batch with a traced mode column:
-    # one compile, one device dispatch for the whole sweep
-    omegas_f = jnp.concatenate([omegas] * len(modes))
-    ks_f = jnp.concatenate([ks] * len(modes))
-    modes_f = jnp.concatenate(
-        [jnp.full((rows,), float(mode)) for mode in modes])
+        # fuse all mode families into one batch with a traced mode column:
+        # one compile, one device dispatch for the whole sweep
+        omegas_f = jnp.concatenate([omegas] * len(modes))
+        ks_f = jnp.concatenate([ks] * len(modes))
+        modes_f = jnp.concatenate(
+            [jnp.full((rows,), float(mode)) for mode in modes])
 
-    disp_scan = make_dispersion_moded(case, scan_dt)
-    disp_polish = (disp_scan if polish_dt == scan_dt
-                   else make_dispersion_moded(case, polish_dt))
+        disp_scan = make_dispersion_moded(case, scan_dt)
+        disp_polish = (disp_scan if polish_dt == scan_dt
+                       else make_dispersion_moded(case, polish_dt))
 
     stats = SweepStats()
     t0 = time.time()
-    pr = search_rows(disp_scan, disp_polish,
-                     omegas_f.astype(scan_dt), ks_f.astype(scan_dt), search,
-                     modes=modes_f.astype(scan_dt))
-    branches = finalize_branches(pr, modes, case, search,
-                                 refine_f64=refine_f64)
+    with timer.stage("device_pipeline"):
+        pr = search_rows(disp_scan, disp_polish,
+                         omegas_f.astype(scan_dt), ks_f.astype(scan_dt),
+                         search, modes=modes_f.astype(scan_dt))
+        jax.block_until_ready(pr.mask)
+    with timer.stage("finalize"):
+        branches = finalize_branches(pr, modes, case, search,
+                                     refine_f64=refine_f64)
     stats.n_roots = sum(len(b) for b in branches.values())
     stats.n_candidates = omegas_f.size
     stats.wall_s = time.time() - t0
