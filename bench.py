@@ -87,7 +87,9 @@ def measure_ours():
                              candidates=cands,
                              cands_per_s=round(cands / wall, 1))
 
-    # cylinder Hain-Luest chain, Pallas K_m kernel live (TPU default)
+    # cylinder Hain-Luest chain (fused two-basis interior scan; XLA-fused
+    # analytic K_m exterior - the Pallas kernel is retired from the default
+    # path, see kernels/bessel.py::_hot_dispatch)
     cyl = cases.cylinder_density_coronal(width=0.9)
     n, wall, cands = _bench_case(cyl, cfg)
     out["cyl_co_09"] = dict(n_roots=n, wall_s=round(wall, 3),
@@ -96,20 +98,22 @@ def measure_ours():
                             cands_per_s=round(cands / wall, 1),
                             bessel=bessel_mod._hot_dispatch(
                                 np.zeros(1, np.float32)))
-    # same sweep with the kernel forced off, to quantify the Pallas win.
+    # same sweep with the Pallas kernel forced ON: the standing A/B record
+    # that justifies (or some round reverses) the retirement decision.
     # The dispatch choice is baked in at trace time, so the jitted-dispersion
-    # cache must be dropped around the toggle or the compiled Pallas program
+    # cache must be dropped around the toggle or the compiled XLA program
     # would silently be reused.
     from eigensolver_tpu import sweep as sweep_mod
     orig = bessel_mod._hot_dispatch
     try:
-        bessel_mod._hot_dispatch = lambda z: "jax"
-        sweep_mod._DISP_CACHE.clear()
-        n, wall, cands = _bench_case(cyl, cfg)
-        out["cyl_co_09_nokernel"] = dict(
-            n_roots=n, wall_s=round(wall, 3),
-            roots_per_s=round(n / wall, 1), candidates=cands,
-            cands_per_s=round(cands / wall, 1))
+        if jax.default_backend() != "cpu" and not jax.config.jax_enable_x64:
+            bessel_mod._hot_dispatch = lambda z: "pallas"
+            sweep_mod._DISP_CACHE.clear()
+            n, wall, cands = _bench_case(cyl, cfg)
+            out["cyl_co_09_pallas"] = dict(
+                n_roots=n, wall_s=round(wall, 3),
+                roots_per_s=round(n / wall, 1), candidates=cands,
+                cands_per_s=round(cands / wall, 1))
     finally:
         bessel_mod._hot_dispatch = orig
         sweep_mod._DISP_CACHE.clear()

@@ -152,7 +152,16 @@ def kve_ratio_batch(m: int, z: jnp.ndarray, use_pallas: bool | None = None):
 def _hot_dispatch(z):
     """Which implementation a BATCHED kve_ratio_both call should use.
     Split out so tests can monkeypatch it (e.g. force the Pallas kernel in
-    interpret mode on CPU)."""
+    interpret mode on CPU).
+
+    RETIRED from the default hot path (r04): the exterior ratio is a pure
+    elementwise series+CF2 chain that XLA fuses into the surrounding
+    dispersion program, so the Pallas launch boundary can only add cost -
+    measured on TPU it LOSES its own A/B on the full coronal-density sweep
+    in every round (artifacts/bessel_ab_r04.json: r02 172.6k vs 174.3k,
+    r03 164.3k vs 170.7k, r04 386.9k vs 394.3k cands/s). Set
+    EIGENSOLVER_BESSEL_PALLAS=1 to re-enable for experiments; the kernel
+    itself stays tested (tests/test_special.py, interpret mode)."""
     if jnp.iscomplexobj(z) or jax.default_backend() == "cpu":
         return "jax"
     if z.dtype != jnp.float32:
@@ -163,7 +172,10 @@ def _hot_dispatch(z):
         # cannot legalize ("func.return (i32, i64)" compile failure on TPU);
         # the math here is f32 either way, so fall back to the XLA path
         return "jax"
-    return "pallas"
+    import os
+    if os.environ.get("EIGENSOLVER_BESSEL_PALLAS") == "1":
+        return "pallas"
+    return "jax"
 
 
 from jax import custom_batching as _custom_batching
