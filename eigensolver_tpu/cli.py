@@ -84,11 +84,20 @@ def cmd_sweep(args):
     case = _build_case(args)
     if case.complex_omega or args.complex:
         case = dataclasses.replace(case, complex_omega=True)
-        rs, st = run_case_complex(case)
+        if args.checkpoint:
+            from .sweep import run_case_complex_checkpointed
+            rs, st = run_case_complex_checkpointed(
+                case, checkpoint_path=args.checkpoint)
+        else:
+            rs, st = run_case_complex(case)
     else:
         dt = "float64" if args.x64 else "float32"
         cfg = SearchConfig(n_omega=args.n_omega, scan_dtype=dt, polish_dtype=dt)
-        if args.sharded:
+        if args.checkpoint:
+            from .sweep import run_case_checkpointed
+            rs, st = run_case_checkpointed(case, cfg,
+                                           checkpoint_path=args.checkpoint)
+        elif args.sharded:
             from .parallel import run_case_sharded
             rs, st = run_case_sharded(case, search=cfg)
         else:
@@ -214,6 +223,36 @@ def cmd_movie(args):
     print(f"saved {out}")
 
 
+def cmd_vorticity(args):
+    """One-command reproduction of the reference's vorticity figure class
+    (`Vorticity_gaussian_flow{,_3D,_vert_cut,_yvert_cut}.py`): synthesis ->
+    Cartesian resample -> np.gradient curl -> quiver/contourf cut-plane."""
+    _apply_device(args)
+    from .roots import load_pickle
+    from .synthesis import FieldGrid, vorticity_pipeline
+    from .viz import vorticity_cut_figure
+
+    case = _build_case(args)
+    rs = load_pickle(args.pickle, case.name)
+    ef = _reconstruct(case, args, rs)
+    grid = FieldGrid.standard(ef.omega, n_t=args.frames)
+    bg_vphi = bg_vz = None
+    if args.background:
+        from .equilibrium import make_equilibrium
+        eq = make_equilibrium(case)
+        bg_vphi = lambda r: np.asarray(eq.v_phi(r))
+        bg_vz = lambda r: np.asarray(eq.U_i(r))
+    xs, ys, zs, vel, vort, PT = vorticity_pipeline(
+        ef, grid, n_xy=args.n_xy, t_index=args.t_index,
+        background_v_phi=bg_vphi, background_v_z=bg_vz)
+    out = vorticity_cut_figure(
+        xs, ys, zs, vel, vort, PT=PT, cut=args.cut, index=args.cut_index,
+        path=args.output,
+        title=f"{case.name} {args.branch} k={ef.k:.3g} "
+              f"$\\omega$={ef.omega:.4g} ({args.cut}-cut)")
+    print(f"saved {out}")
+
+
 def cmd_vtk(args):
     _apply_device(args)
     from .io.vtk import export_field_series
@@ -244,17 +283,33 @@ def main(argv=None):
     p.add_argument("--n-omega", type=int, default=256)
     p.add_argument("--complex", action="store_true")
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="crash-safe sweep: append each k-block's roots to an "
+                        "fsync'd store at PATH; rerunning with the same PATH "
+                        "resumes after the last durable block (real AND "
+                        "complex-omega sweeps)")
     p.set_defaults(fn=cmd_sweep)
 
     for name, fn in [("analyze", cmd_analyze), ("eigenfunction", cmd_eigenfunction),
-                     ("movie", cmd_movie), ("vtk", cmd_vtk)]:
+                     ("movie", cmd_movie), ("vtk", cmd_vtk),
+                     ("vorticity", cmd_vorticity)]:
         p = sub.add_parser(name)
         p.add_argument("pickle")
         _add_case_args(p)
-        if name in ("eigenfunction", "movie", "vtk"):
+        if name in ("eigenfunction", "movie", "vtk", "vorticity"):
             p.add_argument("--k", type=float, required=True)
             p.add_argument("--branch", default="kink")
             p.add_argument("--frames", type=int, default=16)
+        if name == "vorticity":
+            p.add_argument("--cut", default="y", choices=("x", "y", "z"),
+                           help="cut plane: y = vertical x-z (vert_cut), "
+                                "x = vertical y-z (yvert_cut), z = horizontal")
+            p.add_argument("--cut-index", type=int, default=None,
+                           help="slice index along the cut axis (default mid)")
+            p.add_argument("--t-index", type=int, default=0)
+            p.add_argument("--n-xy", type=int, default=96)
+            p.add_argument("--background", action="store_true",
+                           help="add the equilibrium flow/rotation to v")
         if name in ("analyze", "eigenfunction"):
             p.add_argument("--plot", default=None)
         if name == "analyze":
@@ -263,7 +318,7 @@ def main(argv=None):
             p.add_argument("--growth", default=None, metavar="PNG",
                            help="save a Re/Im omega growth-rate figure "
                                 "(complex KH runs)")
-        if name in ("movie", "vtk"):
+        if name in ("movie", "vtk", "vorticity"):
             p.add_argument("-o", "--output", required=True)
         p.set_defaults(fn=fn)
 

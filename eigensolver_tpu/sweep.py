@@ -165,14 +165,106 @@ def run_case_checkpointed(case: CaseConfig, search: Optional[SearchConfig] = Non
                 store.append(m, br.ks[new], br.omegas[new])
                 done[m].update(np.round(br.ks[new], 12))
                 stats.n_roots += int(new.sum())
+                # durable "k done" sentinel (omega = NaN, filtered on read)
+                # for k cells that produced no roots - without it a rootless
+                # (mode, k) re-runs on every resume
+                bare = np.asarray([k for k in np.unique(blk)
+                                   if round(k, 12) not in done[m]])
+                if len(bare):
+                    store.append(m, bare, np.full(len(bare), np.nan))
+                    done[m].update(np.round(bare, 12))
 
     modes_arr, ks_arr, om_arr, _ = read_all(checkpoint_path)
     branches: Dict[str, RootBranch] = {}
     for m in modes:
-        sel = modes_arr == m
+        sel = (modes_arr == m) & np.isfinite(om_arr)
         om_m, kk_m = dedup_roots(om_arr[sel], ks_arr[sel],
                                  rel_tol=case.tol.dedup_rel)
         branches[MODE_NAMES.get(m, f"m{m}")] = RootBranch(om_m, kk_m).sorted_by_k()
+    stats.wall_s = time.time() - t0
+    return RootSet(branches, case_name=case.name), stats
+
+
+def run_case_complex_checkpointed(case: CaseConfig, modes=None,
+                                  checkpoint_path: str = "sweep_kh.eigr",
+                                  k_block: int = 8, n_re: int = 12,
+                                  n_im: int = 10, newton_iters: int = 30,
+                                  accept_pct: float = 0.5,
+                                  dtype=jnp.float64,
+                                  check_completeness: bool = False
+                                  ) -> tuple[RootSet, SweepStats]:
+    """Crash-safe complex-omega (KH) sweep: k-grid processed in fixed-size
+    blocks, each block's accepted complex roots appended (fsync'd, with
+    omega_im in the store's imaginary field) before the next block starts.
+    Restarting with the same path resumes after the last durable block.
+
+    The real-sweep sibling is `run_case_checkpointed`; the reference's KH
+    run has no persistence at all until its end-of-run 8-tuple pickle
+    (`flow_multiprocessor_complex_coronal.py:1185`), so a crashed multi-hour
+    complex scan loses everything - SURVEY.md section 5 checkpoint/resume.
+    """
+    import dataclasses as _dc
+
+    from .native.store import ResultStore, read_all, resume_k_done
+
+    assert case.complex_omega, "case must have complex_omega=True"
+    modes = tuple(modes) if modes is not None else case.modes
+    ks_all = np.asarray(case.k_grid())
+    done = {m: set(np.round(resume_k_done(checkpoint_path, m), 12))
+            for m in modes}
+
+    stats = SweepStats()
+    t0 = time.time()
+    with ResultStore(checkpoint_path) as store:
+        for start in range(0, len(ks_all), k_block):
+            blk = ks_all[start:start + k_block]
+            if len(blk) < k_block:   # pad to keep seed-batch shapes constant
+                blk = np.concatenate([blk, np.full(k_block - len(blk), blk[-1])])
+            todo_modes = [m for m in modes
+                          if not all(round(k, 12) in done[m] for k in blk)]
+            if not todo_modes:
+                continue
+            sub = _dc.replace(case, k_values=tuple(blk))
+            rs_blk, st_blk = run_case_complex(
+                sub, modes=todo_modes, n_re=n_re, n_im=n_im,
+                newton_iters=newton_iters, accept_pct=accept_pct,
+                dtype=dtype, check_completeness=check_completeness)
+            stats.n_candidates += st_blk.n_candidates
+            if st_blk.completeness:
+                if stats.completeness is None:
+                    stats.completeness = dict(st_blk.completeness)
+                else:
+                    for key in ("cells", "checked", "agree", "missed"):
+                        stats.completeness[key] += st_blk.completeness[key]
+            for m in todo_modes:
+                br = rs_blk[MODE_NAMES.get(m, f"m{m}")]
+                new = ~np.isin(np.round(br.ks, 12), list(done[m]))
+                store.append(m, br.ks[new], br.omegas[new],
+                             omegas_imag=(br.omegas_imag[new]
+                                          if br.omegas_imag is not None
+                                          else np.zeros(int(new.sum()))))
+                done[m].update(np.round(br.ks[new], 12))
+                stats.n_roots += int(new.sum())
+                # durable "k done" sentinel for rootless cells (see
+                # run_case_checkpointed)
+                bare = np.asarray([k for k in np.unique(blk)
+                                   if round(k, 12) not in done[m]])
+                if len(bare):
+                    store.append(m, bare, np.full(len(bare), np.nan),
+                                 omegas_imag=np.zeros(len(bare)))
+                    done[m].update(np.round(bare, 12))
+    if stats.completeness and stats.completeness["checked"]:
+        stats.completeness["fraction"] = round(
+            stats.completeness["agree"] / stats.completeness["checked"], 4)
+
+    modes_arr, ks_arr, om_arr, oi_arr = read_all(checkpoint_path)
+    branches: Dict[str, RootBranch] = {}
+    for m in modes:
+        sel = (modes_arr == m) & np.isfinite(om_arr)
+        om_c, k_d = dedup_complex_roots(om_arr[sel] + 1j * oi_arr[sel],
+                                        ks_arr[sel], case.tol.dedup_rel)
+        branches[MODE_NAMES.get(m, f"m{m}")] = RootBranch(
+            omegas=om_c.real, ks=k_d, omegas_imag=om_c.imag).sorted_by_k()
     stats.wall_s = time.time() - t0
     return RootSet(branches, case_name=case.name), stats
 

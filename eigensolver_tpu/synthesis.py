@@ -178,3 +178,33 @@ def cylindrical_to_cartesian_grid(fields: Dict[str, np.ndarray], grid: FieldGrid
         interp[R > r_max] = 0.0
         out[name] = interp              # (x, y, z)
     return xs, ys, out
+
+
+def vorticity_pipeline(ef: RadialEigenfunction, grid: Optional[FieldGrid] = None,
+                       n_xy: int = 96, t_index: int = 0,
+                       background_v_phi=None, background_v_z=None):
+    """Eigenfunction -> regular-Cartesian velocity + vorticity snapshot.
+
+    The one-call equivalent of the reference's vorticity scripts' data stage
+    (`Vorticity_gaussian_flow_3D.py`: 4-D synthesis -> griddata resample ->
+    np.gradient curl, `:1004-1010`): synthesize the 4-D fields, optionally add
+    the background flow, convert to Cartesian components, resample the
+    t_index snapshot onto a regular (x, y, z) grid, and take the
+    central-difference curl.
+
+    Returns (xs, ys, zs, vel, vort, PT) ready for
+    `viz.vorticity_cut_figure`: vel = {"v_x","v_y","v_z"} on (x, y, z),
+    vort = (vort_x, vort_y, vort_z), PT the resampled total pressure.
+    """
+    grid = grid or FieldGrid.standard(ef.omega)
+    fields = synthesize(ef, grid)
+    if background_v_phi is not None or background_v_z is not None:
+        fields = add_background_flow(fields, grid, v_phi0=background_v_phi,
+                                     v_z0=background_v_z)
+    fields = to_cartesian(fields, grid)
+    xs, ys, interp = cylindrical_to_cartesian_grid(
+        fields, grid, n_xy=n_xy, t_index=t_index,
+        components=("v_x", "v_y", "v_z", "P_T"))
+    vel = {k: interp[k] for k in ("v_x", "v_y", "v_z")}
+    vort = vorticity_3d(vel["v_x"], vel["v_y"], vel["v_z"], xs, ys, grid.z)
+    return xs, ys, grid.z, vel, vort, interp["P_T"]

@@ -255,3 +255,81 @@ def animate_cross_section(fields: Dict[str, np.ndarray], grid: FieldGrid,
         ani.save(path, writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
     return path
+
+
+def vorticity_cut_figure(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray,
+                         vel: Dict[str, np.ndarray],
+                         vort: tuple, PT: Optional[np.ndarray] = None,
+                         cut: str = "z", index: Optional[int] = None,
+                         path: Optional[str] = None, quiver_stride: int = 3,
+                         title: Optional[str] = None):
+    """Velocity + vorticity cut-plane panels on a regular Cartesian grid.
+
+    Reproduces the reference's vorticity figure class
+    (`Vorticity_gaussian_flow_vert_cut.py:1007-1078`: contourf(P_T) +
+    quiver(v) beside contourf(transverse vorticity) + quiver(in-plane
+    vorticity); horizontal-cut variant `Vorticity_gaussian_flow.py`;
+    y-vertical variant `Vorticity_gaussian_flow_yvert_cut.py`; the 3-D
+    all-components view `Vorticity_gaussian_flow_3D.py:993-1042`).
+
+    xs, ys, zs: 1-D grid axes; vel: {"v_x","v_y","v_z"} arrays (x, y, z);
+    vort: (vort_x, vort_y, vort_z) from `synthesis.vorticity_3d`;
+    PT: optional total-pressure array for the velocity panel background;
+    cut: "z" = horizontal x-y plane (contour vort_z), "y" = vertical x-z
+    plane (contour vort_y), "x" = vertical y-z plane (contour vort_x);
+    index: slice index along the cut axis (default: mid-plane).
+    """
+    wx, wy, wz = vort
+    axis = {"x": 0, "y": 1, "z": 2}[cut]
+    n = (len(xs), len(ys), len(zs))[axis]
+    i = n // 2 if index is None else int(index)
+    s = quiver_stride
+
+    def sl(a):
+        return np.take(a, i, axis=axis)
+
+    if cut == "z":
+        A, B = np.meshgrid(xs, ys, indexing="ij")
+        la, lb = "x", "y"
+        v_a, v_b = sl(vel["v_x"]), sl(vel["v_y"])
+        w_a, w_b, w_c = sl(wx), sl(wy), sl(wz)
+    elif cut == "y":
+        A, B = np.meshgrid(xs, zs, indexing="ij")
+        la, lb = "x", "z"
+        v_a, v_b = sl(vel["v_x"]), sl(vel["v_z"])
+        w_a, w_b, w_c = sl(wx), sl(wz), sl(wy)
+    elif cut == "x":
+        A, B = np.meshgrid(ys, zs, indexing="ij")
+        la, lb = "y", "z"
+        v_a, v_b = sl(vel["v_y"]), sl(vel["v_z"])
+        w_a, w_b, w_c = sl(wy), sl(wz), sl(wx)
+    else:
+        raise ValueError(f"cut must be x, y or z, got {cut!r}")
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 5))
+    if PT is not None:
+        ax1.contourf(A, B, sl(PT), levels=25, cmap="RdBu_r", alpha=0.5,
+                     extend="both")
+    ax1.quiver(A[::s, ::s], B[::s, ::s], v_a[::s, ::s], v_b[::s, ::s],
+               pivot="tail", width=0.003)
+    ax1.set_xlabel(la)
+    ax1.set_ylabel(lb)
+    ax1.set_title("velocity" + (" + $P_T$" if PT is not None else ""))
+
+    cf = ax2.contourf(A, B, w_c, levels=25, cmap="bwr", alpha=0.6,
+                      extend="both")
+    ax2.quiver(A[::s, ::s], B[::s, ::s], w_a[::s, ::s], w_b[::s, ::s],
+               pivot="tail", width=0.003)
+    fig.colorbar(cf, ax=ax2, shrink=0.85)
+    comp = {"z": r"$\omega_z$", "y": r"$\omega_y$", "x": r"$\omega_x$"}[cut]
+    ax2.set_xlabel(la)
+    ax2.set_ylabel(lb)
+    ax2.set_title(f"vorticity ({comp} contours)")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig

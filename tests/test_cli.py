@@ -93,3 +93,27 @@ def test_cli_module_entry():
 def test_cli_unknown_case_exits():
     with pytest.raises(SystemExit):
         cli.main(["analyze", "/nonexistent.pickle", "--case", "not_a_case"])
+
+
+CYL_CASE = ["--case", "cylinder_density_coronal", "--width", "0.9",
+            "--n-k", "3", "--speeds", "0.92,0.97"]
+
+
+@pytest.mark.slow
+def test_cli_vorticity(tmp_path, capsys):
+    """sweep -> vorticity cut-plane figure on a cylinder case (the
+    reference's vorticity scripts are all cylinder-family,
+    `Vorticity_gaussian_flow*.py`; slab eigenmodes carry no azimuthal
+    velocity, so the deliverable is cylinder-only)."""
+    pkl = tmp_path / "cyl.pickle"
+    cli.main(["sweep", "cylinder_density_coronal", "--width", "0.9",
+              "--n-k", "3", "--speeds", "0.92,0.97",
+              "--n-omega", "64", "-o", str(pkl)])
+    capsys.readouterr()
+    png = tmp_path / "vort.png"
+    cli.main(["vorticity", str(pkl), *CYL_CASE,
+              "--k", "1.5", "--branch", "kink", "--cut", "y",
+              "--n-xy", "32", "-o", str(png)])
+    out = capsys.readouterr().out
+    assert "saved" in out
+    assert png.exists() and png.stat().st_size > 0

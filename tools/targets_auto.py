@@ -198,15 +198,36 @@ def generate(existing_pickles=()):
     # dedup and absorbs fuzz-parity entries on this family (see
     # reproduce.TARGETS cyl_flow_1 note)
     base = _d("Cylinder/Non-uniform flow/Coronal/Example data")
+    # All four flow pickles come from the same generating file
+    # (`Cylinder_method_flow_testing.py`), which breaks on its FIRST
+    # under-xi_tol scan seed (70 seeds/band, xi_tol=6%, `:530,:1153`) - so
+    # the shipped roots sit AT reference seeds up to ~band/70 below the true
+    # zero. The r03 misses on these three siblings (18+13+13 kink, 6+3+3
+    # sausage; all "hi-acc dip matches neither", PARITY_r03) were exactly
+    # such first-acceptance entries: they need the same reference-seed-grid
+    # fuzz parity the hand-tuned cyl_flow_1 target already had (bands = the
+    # generating file's characteristic speeds `:228,:231`, n_omega=22*69+1
+    # aligning the strided fuzz subsample with its 70-seed linspace).
+    _flow_parity = dict(
+        n_omega=1519, fuzz_stride=22, fuzz_pct=6.0, max_brackets=24,
+        fuzz_v_ranges=((0.8944, 4.999),), refine_scan_accept=2.0)
+    _flow_speeds = (-4.999, -2.75325, -2.0, -1.0, -0.8944, -0.51,
+                    0.51, 0.8944, 1.0, 2.0, 2.75325, 4.999)
+    # ext3 matters physically here, not just numerically: the generating
+    # file integrates the exterior over a FINITE 3-wavelength domain with
+    # tiny ICs (`Cylinder_method_flow_testing.py:561`), which shifts the
+    # slowly-decaying fast-kink modes hugging c_kink by O(e^{-2 sqrt(m_e) L})
+    # ~ 0.3-0.9% relative vs the infinite-domain Bessel exterior - exactly
+    # the r03 three-way pickle/ours/recheck disagreements.
     add("cyl_flow_06", "cylinder_flow_coronal", dict(U=0.05, width=0.6),
-        f"{base}/Cylindrical_coronal_flow_06.pickle",
-        extra=dict(refine_scan_accept=2.0))
+        f"{base}/Cylindrical_coronal_flow_06.pickle", grid=ext3,
+        extra=dict(speeds=_flow_speeds, **_flow_parity))
     add("cyl_flow_1e5", "cylinder_flow_coronal", dict(U=0.05, width=1e5),
-        f"{base}/Cylindrical_coronal_flow_1e5.pickle",
-        extra=dict(refine_scan_accept=2.0))
+        f"{base}/Cylindrical_coronal_flow_1e5.pickle", grid=ext3,
+        extra=dict(speeds=_flow_speeds, **_flow_parity))
     add("cyl_flow_noflow", "cylinder_flow_coronal", dict(U=0.0, width=1.0),
-        f"{base}/Cylindrical_coronal_flow_noflow.pickle",
-        extra=dict(refine_scan_accept=2.0))
+        f"{base}/Cylindrical_coronal_flow_noflow.pickle", grid=ext3,
+        extra=dict(speeds=_flow_speeds, **_flow_parity))
 
     # --- rotational flow (twisted) grid: every remaining
     # vtwist{V}_power{P}_{branch} pickle; m=1 for *kink*, m=0 for *sausage*
