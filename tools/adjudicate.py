@@ -154,11 +154,12 @@ def _cross_pickle_duplicates(out):
             continue
         for name, br, r in entries:
             ev = r.get("evidence") or ""
-            # parse the recheck residual out of the evidence string when
-            # present; skip reclassification for dips <= 1%
-            import re
-            mres = re.search(r"resid ([0-9.eE+-]+)%", ev)
-            if mres and float(mres.group(1)) <= 1.0:
+            # structured recheck residual (ADVICE r03: the prose evidence
+            # string is not a data channel); skip reclassification when an
+            # independent dip reached <= 1% - a solid confirmed zero can
+            # never be reclassified
+            resid = r.get("resid_hiacc")
+            if resid is not None and resid <= 1.0:
                 continue
             r["verdict"] = "ref_irreproducible"
             r["evidence"] = (
@@ -179,6 +180,35 @@ def _cross_pickle_duplicates(out):
             b["rate_non_artifact"] = (round(c["matched"] / denom, 4)
                                       if denom > 0 else None)
     return out
+
+
+def _threshold_sensitivity(out, thresholds=(0.25, 0.5, 1.0)):
+    """Overall non-artifact match rate as the quasi-mode residual cut varies
+    (ADVICE r03: the 0.5% cut the headline rate depends on is a heuristic -
+    publish the rate at neighbouring cuts so its leverage is visible).
+    Recomputed from the STRUCTURED per-root recheck fields: an in-band
+    `genuine` recheck with dip residual > thr counts continuum_artifact,
+    <= thr counts MISSED; every other verdict keeps its shipped class."""
+    sens = {}
+    for thr in thresholds:
+        matched = denom = 0
+        for name, tgt in out.items():
+            if name.startswith("_"):
+                continue
+            for b in tgt["branches"].values():
+                c = b["counts"]
+                matched += c["matched"]
+                excl = c["ref_discretization"] + c["ref_irreproducible"]
+                art = 0
+                for r in b["roots"]:
+                    if (r.get("recheck_verdict") == "genuine"
+                            and r.get("in_band")):
+                        art += int((r.get("resid_hiacc") or 0.0) > thr)
+                    elif r["verdict"] == "continuum_artifact":
+                        art += 1
+                denom += b["total"] - excl - art
+        sens[f"{thr}%"] = round(matched / denom, 4) if denom else None
+    return sens
 
 
 def adjudicate(repro_reports, recheck_detail, pad=0.002):
@@ -268,7 +298,15 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
                 counts[verdict] += 1
                 roots.append({"omega_ref": om_r, "k": k, "v": v,
                               "omega_ours": om_o, "rel_err": rel,
-                              "verdict": verdict, "evidence": why})
+                              "verdict": verdict, "evidence": why,
+                              # structured recheck fields (the duplicates
+                              # pass and the sensitivity report read these,
+                              # NOT the prose evidence string)
+                              "resid_hiacc": (rc.get("resid_hiacc")
+                                              if rc else None),
+                              "recheck_verdict": (rc["verdict"]
+                                                  if rc else None),
+                              "in_band": bool(band)})
             total = b.get("total", 0)
             excluded = (counts["ref_discretization"]
                         + counts["ref_irreproducible"]
@@ -283,7 +321,10 @@ def adjudicate(repro_reports, recheck_detail, pad=0.002):
                 "roots": roots,
             }
         out[name] = tgt
-    return _cross_pickle_duplicates(out)
+    out = _cross_pickle_duplicates(out)
+    out["_sensitivity"] = {"quasi_mode_residual_cut":
+                           _threshold_sensitivity(out)}
+    return out
 
 
 def main():
@@ -300,6 +341,8 @@ def main():
     result = adjudicate(reports, recheck, pad=args.pad)
     json.dump(result, open(args.out, "w"), indent=1)
     for name, tgt in result.items():
+        if name.startswith("_"):
+            continue
         for br, b in tgt["branches"].items():
             print(json.dumps({"target": name, "branch": br,
                               "counts": b["counts"],

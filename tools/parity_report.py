@@ -107,11 +107,13 @@ def main():
     result = adjudicate(list(reports.values()), recheck)
     json.dump(result, open(args.out, "w"), indent=1)
 
-    n_targets = len(result)
+    n_targets = len([k for k in result if not k.startswith("_")])
     lines = []
     tot = dict(total=0, matched=0, disc=0, irr=0, cont=0, miss=0)
     worst = []
     for name in sorted(result, key=lambda t: (fam(t), t)):
+        if name.startswith("_"):       # reserved keys (e.g. _sensitivity)
+            continue
         tgt = result[name]
         for br, b in tgt["branches"].items():
             c = b["counts"]

@@ -175,7 +175,14 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
             om_near = float(ours[i_near])
             rel = abs(om_near - om_r) / abs(om_r)
             errs.append(rel)
-            hit = rel < tol
+            # relative-in-omega OR absolute-in-phase-speed: the reference
+            # seeds its bands uniformly in v = omega/k (`test_freq =
+            # linspace(speeds[i] k, ...)`), so its own recorded resolution
+            # is ABSOLUTE in v - a relative-omega tolerance diverges
+            # spuriously for the near-zero backward/slow Doppler modes
+            # (omega ~ 1e-4, PARITY_r03 slab_flow "misses" with
+            # |delta v| ~ 5e-5)
+            hit = rel < tol or abs(om_near - om_r) / abs(k_r) < tol
             matched += hit
         else:
             errs.append(np.inf)

@@ -70,17 +70,21 @@ def main():
                        scan_dtype="float32", polish_dtype="float32")
     rows = build_ladders(case, n_omega=args.n_omega)[0].shape[0]
 
-    results = []
-    wall_1 = None
-    for n in args.devices:
-        mesh = make_mesh(n)
-        run_case_sharded(case, mesh, cfg)           # compile warm-up
+    def timed_sweep(n_dev, sub_case):
+        mesh = make_mesh(n_dev)
+        run_case_sharded(sub_case, mesh, cfg)       # compile warm-up
         walls = []
         for _ in range(args.repeats):
             t0 = time.time()
-            rs, st = run_case_sharded(case, mesh, cfg)
+            rs, st = run_case_sharded(sub_case, mesh, cfg)
             walls.append(time.time() - t0)
-        wall = min(walls)
+        return min(walls), rs
+
+    # --- strong scaling: fixed TOTAL work, n devices ------------------------
+    results = []
+    wall_1 = None
+    for n in args.devices:
+        wall, rs = timed_sweep(n, case)
         if wall_1 is None:
             wall_1 = wall
         per_dev = [rows // n + (1 if i < rows % n else 0) for i in range(n)]
@@ -92,15 +96,42 @@ def main():
             "sharding_efficiency": round(wall_1 / wall, 3),
         })
         print(json.dumps(results[-1]), flush=True)
+
+    # --- weak scaling: fixed work PER DEVICE (k grid scales with n) ---------
+    # the closer stand-in for the BASELINE 1 -> 2 host bar: on a virtual
+    # mesh the n devices timeshare fixed cores, so ideal weak behaviour is
+    # wall(n) = n * wall(1); the reported overhead wall(n)/(n*wall(1)) is
+    # therefore falsifiable in BOTH directions (partition/collective cost
+    # pushes it above 1, batch amortisation of dispatch below 1) - unlike
+    # the fixed-work column, which cannot fall under 1.0 here.
+    weak_results = []
+    weak_wall_1 = None
+    for n in args.devices:
+        sub = dataclasses.replace(case, n_k=args.n_k * n)
+        wall, rs = timed_sweep(n, sub)
+        if weak_wall_1 is None:
+            weak_wall_1 = wall
+        overhead = wall / (n * weak_wall_1)
+        weak_results.append({
+            "devices": n, "n_k": args.n_k * n, "wall_s": round(wall, 3),
+            "roots": sum(rs.counts().values()),
+            "weak_overhead": round(overhead, 3),
+            "weak_efficiency": round(1.0 / overhead, 3),
+        })
+        print(json.dumps(weak_results[-1]), flush=True)
+
     out = {
-        "definition": ("fixed-total-work wall(1 dev)/wall(n dev) on a "
-                       "virtual mesh = partition + collective overhead "
+        "definition": ("strong: fixed-total-work wall(1 dev)/wall(n dev) on "
+                       "a virtual mesh = partition + collective overhead "
                        "factor; multiplies ideal linear scaling on real "
-                       "chips (see module docstring)"),
+                       "chips. weak: fixed work PER device (n_k scales with "
+                       "n); overhead = wall(n)/(n*wall(1)), ideal 1.0 on a "
+                       "timeshared virtual mesh (see module docstring)"),
         "case": args.case, "n_omega": args.n_omega, "n_k": args.n_k,
         "backend": jax.default_backend(),
         "n_physical_cores": __import__("os").cpu_count(),
         "results": results,
+        "weak_results": weak_results,
     }
     if args.json:
         with open(args.json, "w") as f:
