@@ -451,16 +451,25 @@ def collect(pr: PolishResult, with_fuzz: bool = False):
 
 
 def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,
-                  n_iter: int = 30, rel_halfwidth: float = 4e-7):
+                  n_iter: int = 30, rel_halfwidth: float = 4e-7,
+                  return_bracketed: bool = False):
     """Float64 re-bisection of f32-converged roots on the host CPU.
 
     TPU v5e has no native f64 (emulation hangs the axon compile), so the broad
     scan+polish run in f32 on-device; the accepted roots (a ~1000x smaller set)
     are then re-bracketed within +-rel_halfwidth and bisected in f64 on CPU to
     reach the 1e-7-relative target (BASELINE.md accuracy row).
+
+    return_bracketed: also return the bool mask of entries whose f64 signs
+    bracketed within the (geometrically widened, up to ~2e-3 relative)
+    window. An entry that NEVER brackets is not a zero of the f64
+    dispersion at all - it is f32 scan noise (measured on cyl_flow_1e5:
+    a spurious kink 'root' 0.57% from the true eigenvalue survived refine
+    untouched and then poisoned the recheck's nearest-ours comparison);
+    callers should drop such entries rather than ship the f32 value.
     """
     if len(omegas) == 0:
-        return omegas
+        return (omegas, np.zeros(0, bool)) if return_bracketed else omegas
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         disp64 = jax.jit(jax.vmap(make_disp64()))
@@ -492,7 +501,10 @@ def refine_on_cpu(make_disp64: Callable, omegas: np.ndarray, ks: np.ndarray,
             return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
         lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-        return np.asarray(0.5 * (lo + hi))
+        out = np.asarray(0.5 * (lo + hi))
+        if return_bracketed:
+            return out, ~np.asarray(bad)
+        return out
 
 
 # ---------------------------------------------------------------------------

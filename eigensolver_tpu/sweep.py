@@ -410,10 +410,14 @@ def finalize_branches(pr, modes, case: CaseConfig, search: SearchConfig,
                                      rel_tol=case.tol.dedup_rel)
             if len(om_m):
                 from .search import refine_on_cpu
-                om_m = refine_on_cpu(
+                om_m, bracketed = refine_on_cpu(
                     lambda m=mode: make_dispersion(case, m,
                                                    dtype=jnp.float64),
-                    om_m, kk_m)
+                    om_m, kk_m, return_bracketed=True)
+                # candidates the f64 dispersion never brackets (within the
+                # widened ~2e-3 window) are f32 scan noise, not roots - drop
+                # them instead of shipping the f32 value (see refine_on_cpu)
+                om_m, kk_m = om_m[bracketed], kk_m[bracketed]
                 if search.accept_pct_refined is not None:
                     # re-judge acceptance at the f64-refined root (see
                     # SearchConfig.accept_pct_refined)

@@ -117,6 +117,7 @@ def run_family(name, case, speeds, geometry, n_omega=256):
         devs = analytic_deviation(case.regime, np.asarray(br.omegas),
                                   np.asarray(br.ks), parity, geometry)
         ok = np.isfinite(devs)
+        worst = np.argsort(np.where(ok, devs, -1))[-8:][::-1]
         out["branches"][bname] = {
             "n": int(len(devs)), "n_checked": int(ok.sum()),
             "median_rel_dev": float(np.median(devs[ok])) if ok.any() else None,
@@ -124,6 +125,10 @@ def run_family(name, case, speeds, geometry, n_omega=256):
                                if ok.any() else None),
             "p90_rel_dev": float(np.quantile(devs[ok], 0.9)) if ok.any() else None,
             "max_rel_dev": float(np.max(devs[ok])) if ok.any() else None,
+            "worst_roots": [
+                {"k": float(br.ks[i]), "v": float(br.omegas[i] / br.ks[i]),
+                 "rel_dev": float(devs[i])}
+                for i in worst if ok[i]],
         }
     return out
 
@@ -132,6 +137,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--device", default=None)
+    ap.add_argument("--family", default=None,
+                    help="substring filter: run only matching families")
     args = ap.parse_args()
 
     import jax
@@ -147,24 +154,27 @@ def main():
         pass
     from eigensolver_tpu import cases
 
+    fams = [
+        ("slab_photospheric_uniform_limit",
+         lambda: cases.slab_density_photospheric(width=1e5),
+         (0.905, 0.93, 0.955, 0.98, 0.9995), "slab"),
+        # slow body modes live between cT_i0=0.588 and c_i0=1; the fast
+        # (kink surface) branch sits near c_kink ~ 1.77
+        ("slab_coronal_uniform_limit",
+         lambda: cases.slab_density_coronal(width=1e5),
+         (0.62, 0.75, 0.9, 0.9995, 1.7, 1.78, 1.85), "slab"),
+        # body-mode bands of the uniform coronal cylinder: (cT_i0=0.894,
+        # c_i0=1) slow, (vA_i0=2, vA_e=5) fast
+        ("cylinder_coronal_uniform_limit",
+         lambda: cases.cylinder_density_coronal(width=1e5),
+         (0.9, 0.95, 0.9995, 2.05, 2.5, 3.0, 3.5, 4.0, 4.5, 4.95),
+         "cylinder"),
+    ]
     reports = []
-    reports.append(run_family(
-        "slab_photospheric_uniform_limit",
-        cases.slab_density_photospheric(width=1e5),
-        (0.905, 0.93, 0.955, 0.98, 0.9995), "slab"))
-    # slow body modes live between cT_i0=0.588 and c_i0=1; the fast
-    # (kink surface) branch sits near c_kink ~ 1.77
-    reports.append(run_family(
-        "slab_coronal_uniform_limit",
-        cases.slab_density_coronal(width=1e5),
-        (0.62, 0.75, 0.9, 0.9995, 1.7, 1.78, 1.85), "slab"))
-    # body-mode bands of the uniform coronal cylinder: (cT_i0=0.894, c_i0=1)
-    # slow, (vA_i0=2, vA_e=5) fast
-    reports.append(run_family(
-        "cylinder_coronal_uniform_limit",
-        cases.cylinder_density_coronal(width=1e5),
-        (0.9, 0.95, 0.9995, 2.05, 2.5, 3.0, 3.5, 4.0, 4.5, 4.95),
-        "cylinder"))
+    for name, mk, speeds, geom in fams:
+        if args.family and args.family not in name:
+            continue
+        reports.append(run_family(name, mk(), speeds, geom))
     for r in reports:
         print(json.dumps(r))
     if args.json:
