@@ -122,6 +122,19 @@ class GridConfig:
     n_exterior: int = 512        # fixed RK4 steps in the exterior region (cylinder)
     exterior_wavelengths: float = 3.0  # domain extent in units of 2*pi/k
     axis_epsilon: float = 1e-3   # cylinder axis cutoff (reference: r=0.001)
+    # Log-spaced RK4 tail continuing the interior integration from
+    # axis_epsilon down to axis_epsilon_final in t = ln r (regular: the 1/r
+    # coefficient terms become O(1) in t) before imposing the axis BC.
+    # Imposing P(eps)=0 / P'(eps)=0 at the reference's eps=1e-3 carries an
+    # O(eps^2) eigenvalue bias - measured 4.9e-6 relative at the fast-band
+    # top (ACCURACY_r04 worst roots; eps-scaling verified 1e-2 -> 4.8e-4,
+    # 3e-3 -> 4.4e-5, 1e-3 -> 4.9e-6); the 1e-5 tail puts it at ~1e-10.
+    # Twisted (rotational-flow) cases skip the tail: v_phi ~ r^(p-1) makes
+    # the axis cutoff genuine physics there and the reference's eps=1e-3 is
+    # part of the problem definition. Set axis_epsilon_final >=
+    # axis_epsilon to disable.
+    axis_epsilon_final: float = 1e-5
+    n_axis_log: int = 128        # RK4 steps of the log-spaced axis tail
     # cylinder exterior treatment: "bessel" evaluates the exact K_m logarithmic
     # derivative (special.kve_ratio - faster and exact); "numeric" integrates
     # the exterior ODE like the reference (`Density_cylinder.py:628-634`).

@@ -205,7 +205,25 @@ class CylinderPhysics:
 
             r1 = jnp.asarray(1.0, dtype)
             re_ = jnp.asarray(eps, dtype)
-            P1e, w1e, P2e, w2e = rk4_final(rhs_int2, u0, r1, re_, n_int)
+            state = rk4_final(rhs_int2, u0, r1, re_, n_int)
+            if not twisted and gr.axis_epsilon_final < eps:
+                # log-spaced tail eps -> eps_final in t = ln r: the 1/r
+                # coefficient terms are O(1) in t, so fixed steps stay
+                # accurate arbitrarily close to the axis. Imposing the BC at
+                # eps=1e-3 costs an O(eps^2) ~ 5e-6 eigenvalue bias (config
+                # .GridConfig.axis_epsilon_final); at 1e-5 it is ~1e-10.
+                # Twisted cases keep the reference's eps (axis cutoff is
+                # physics there: v_phi ~ r^(p-1)).
+                def rhs_log(t, y):
+                    r = jnp.exp(t)
+                    dy = rhs_int2(r, y)
+                    return tuple(r * d for d in dy)
+
+                state = rk4_final(rhs_log, state, jnp.log(re_),
+                                  jnp.log(jnp.asarray(gr.axis_epsilon_final,
+                                                      dtype)),
+                                  gr.n_axis_log)
+            P1e, w1e, P2e, w2e = state
             u1 = (P1e, w1e)
             u2 = (P2e, w2e)
 
