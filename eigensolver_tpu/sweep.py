@@ -141,7 +141,9 @@ def run_case_checkpointed(case: CaseConfig, search: Optional[SearchConfig] = Non
     search = search or SearchConfig(
         n_omega=case.grid.n_omega_ladder, n_bisect=case.grid.n_bisect)
     modes = tuple(modes) if modes is not None else case.modes
-    ks_all = np.asarray(case.k_grid())
+    # float64 canonicalisation: resume identity is round(k, 12), which is
+    # only stable if the k grid never passes through f32
+    ks_all = np.asarray(case.k_grid(), np.float64)
     done = {m: set(np.round(resume_k_done(checkpoint_path, m), 12))
             for m in modes}
 
@@ -209,7 +211,9 @@ def run_case_complex_checkpointed(case: CaseConfig, modes=None,
 
     assert case.complex_omega, "case must have complex_omega=True"
     modes = tuple(modes) if modes is not None else case.modes
-    ks_all = np.asarray(case.k_grid())
+    # float64 canonicalisation: resume identity is round(k, 12), which is
+    # only stable if the k grid never passes through f32
+    ks_all = np.asarray(case.k_grid(), np.float64)
     done = {m: set(np.round(resume_k_done(checkpoint_path, m), 12))
             for m in modes}
 
