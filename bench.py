@@ -8,9 +8,10 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
   default device (TPU under axon; CPU in dev environments) - the same
   headline metric as BENCH_r01 so rounds stay comparable.
 - detail.cases adds the two expensive engines the BASELINE scale rows name:
-  the cylinder Hain-Luest chain (coronal density W=0.9, with the Pallas
-  K_m'/K_m exterior kernel live vs the pure-JAX path) and the twisted
-  (rotational-flow) engine, each as steady-state roots/s and candidates/s.
+  the cylinder Hain-Luest chain (coronal density W=0.9; default XLA path,
+  plus the retired Pallas K_m'/K_m kernel re-measured as the standing A/B,
+  artifacts/bessel_ab_r04.json) and the twisted (rotational-flow) engine,
+  each as steady-state roots/s, candidates/s and per-stage wall split.
 - vs_baseline: speedup of roots/sec over the reference pipeline, whose
   per-seed cost (scipy LSODA exterior + fsolve-shooting interior over the
   reference's 1e5-point grid, `multiprocessor_Inhomogeneous_method.py:364-387`)
@@ -40,15 +41,21 @@ def _device_healthy(timeout_s: float = 90.0) -> bool:
 
 
 def _bench_case(case, cfg):
-    """(roots/s, wall, n_roots, n_candidates) steady-state: first run
-    compiles, second run is timed."""
+    """(n_roots, wall, n_candidates, stage_walls) steady-state: first run
+    compiles, second run is timed. stage_walls carries the per-stage wall
+    split (ladders / device pipeline / host finalize) so a throughput shift
+    in any future round is attributable from the bench artifact alone
+    (the r02->r03 regression shipped unnoticed for lack of exactly this)."""
     from eigensolver_tpu.sweep import run_case
+    from eigensolver_tpu.utils import StageTimer
     run_case(case, cfg)
+    timer = StageTimer()
     t0 = time.time()
-    rs, st = run_case(case, cfg)
+    rs, st = run_case(case, cfg, timer=timer)
     wall = time.time() - t0
     n_roots = sum(rs.counts().values())
-    return n_roots, wall, st.n_candidates
+    stages = {k: round(v, 4) for k, v in timer.report().items()}
+    return n_roots, wall, st.n_candidates, stages
 
 
 def measure_ours():
@@ -80,22 +87,24 @@ def measure_ours():
 
     out = {}
     # headline: slab photospheric density (same as BENCH_r01)
-    n, wall, cands = _bench_case(cases.slab_density_photospheric(width=0.9),
-                                 cfg)
+    n, wall, cands, stages = _bench_case(
+        cases.slab_density_photospheric(width=0.9), cfg)
     out["slab_ph_09"] = dict(n_roots=n, wall_s=round(wall, 3),
                              roots_per_s=round(n / wall, 1),
                              candidates=cands,
-                             cands_per_s=round(cands / wall, 1))
+                             cands_per_s=round(cands / wall, 1),
+                             stage_walls_s=stages)
 
     # cylinder Hain-Luest chain (fused two-basis interior scan; XLA-fused
     # analytic K_m exterior - the Pallas kernel is retired from the default
     # path, see kernels/bessel.py::_hot_dispatch)
     cyl = cases.cylinder_density_coronal(width=0.9)
-    n, wall, cands = _bench_case(cyl, cfg)
+    n, wall, cands, stages = _bench_case(cyl, cfg)
     out["cyl_co_09"] = dict(n_roots=n, wall_s=round(wall, 3),
                             roots_per_s=round(n / wall, 1),
                             candidates=cands,
                             cands_per_s=round(cands / wall, 1),
+                            stage_walls_s=stages,
                             bessel=bessel_mod._hot_dispatch(
                                 np.zeros(1, np.float32)))
     # same sweep with the Pallas kernel forced ON: the standing A/B record
@@ -109,7 +118,7 @@ def measure_ours():
         if jax.default_backend() != "cpu" and not jax.config.jax_enable_x64:
             bessel_mod._hot_dispatch = lambda z: "pallas"
             sweep_mod._DISP_CACHE.clear()
-            n, wall, cands = _bench_case(cyl, cfg)
+            n, wall, cands, _ = _bench_case(cyl, cfg)
             out["cyl_co_09_pallas"] = dict(
                 n_roots=n, wall_s=round(wall, 3),
                 roots_per_s=round(n / wall, 1), candidates=cands,
@@ -119,13 +128,14 @@ def measure_ours():
         sweep_mod._DISP_CACHE.clear()
 
     # twisted (rotational flow) engine - the conditioning-hardest family
-    n, wall, cands = _bench_case(
+    n, wall, cands, stages = _bench_case(
         cases.cylinder_twisted_photospheric(v_twist=0.1, power=1.0, mode=1),
         cfg)
     out["twist_v01_p1"] = dict(n_roots=n, wall_s=round(wall, 3),
                                roots_per_s=round(n / wall, 1),
                                candidates=cands,
-                               cands_per_s=round(cands / wall, 1))
+                               cands_per_s=round(cands / wall, 1),
+                               stage_walls_s=stages)
 
     import jax as _jax
     return out, _jax.default_backend()

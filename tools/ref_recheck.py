@@ -473,14 +473,23 @@ def _solve_scalar(f, scale, k):
 
 def recheck_miss(args):
     name, p, om_ref, k, parity, om_ours, tol = args
+    # om_ours may be a scalar (nearest root) or a list of OUR roots near the
+    # entry (reproduce's omega_ours_window): the arbiter judges against the
+    # CLOSEST of them - a pickle entry between two of our true zeros must
+    # not be classified both_off merely because the dip's zero was not the
+    # nearest one
+    ours_list = ([o for o in om_ours if o is not None]
+                 if isinstance(om_ours, (list, tuple)) else
+                 ([om_ours] if om_ours else []))
+    om_near = ours_list[0] if ours_list else None
     resid = {"slab_density": slab_residual, "slab_flow": slab_residual,
              "cylinder": cylinder_residual,
              "twisted": twisted_residual}[p["engine"]]
-    rel_gap = (abs(om_ours - om_ref) / om_ref if om_ours else 1e-2)
+    rel_gap = (abs(om_near - om_ref) / om_ref if om_near else 1e-2)
     w = min(max(3.0 * rel_gap, 8e-3), 4e-2)
     om_star, r_star, nan_frac = _locate_zero(
         lambda o, s=False: resid(p, o, k, parity, signed=s), om_ref, w)
-    out = dict(k=k, omega_ref=om_ref, omega_ours=om_ours, parity=parity,
+    out = dict(k=k, omega_ref=om_ref, omega_ours=om_near, parity=parity,
                omega_hiacc=om_star, resid_hiacc=r_star, nan_frac=nan_frac,
                rtol_note=f"@rtol={RTOL:g} ")
     if om_star is None or r_star > 5.0:
@@ -491,8 +500,8 @@ def recheck_miss(args):
             out["singular"] = True
         return out
     dev_ref = abs(om_star - om_ref) / abs(om_ref)
-    dev_ours = (abs(om_star - om_ours) / abs(om_star)
-                if om_ours else np.inf)
+    dev_ours = (min(abs(om_star - o) / abs(om_star) for o in ours_list)
+                if ours_list else np.inf)
     if dev_ours < tol <= dev_ref:
         out["verdict"] = "ref_error"
     elif dev_ref < tol:
@@ -578,11 +587,14 @@ def main():
             mis = rep.get(br, {}).get("misses")
             if not mis:
                 continue
-            rows = list(zip(mis["omega_ref"], mis["k"], mis["omega_ours"]))
+            windows = mis.get("omega_ours_window") or [None] * len(mis["k"])
+            rows = list(zip(mis["omega_ref"], mis["k"], mis["omega_ours"],
+                            windows))
             if args.max_per_branch:
                 rows = rows[:args.max_per_branch]
-            for om_r, k, om_o in rows:
-                tasks.append((name, p, om_r, k, br, om_o, tol))
+            for om_r, k, om_o, win in rows:
+                tasks.append((name, p, om_r, k, br,
+                              win if win else om_o, tol))
 
     print(f"# rechecking {len(tasks)} misses on {args.jobs} processes",
           file=sys.stderr)

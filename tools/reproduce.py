@@ -170,10 +170,19 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
         hit = False
         rel = np.inf
         om_near = np.nan
+        window = []
         if len(ours):
             i_near = int(np.argmin(np.abs(ours - om_r)))
             om_near = float(ours[i_near])
             rel = abs(om_near - om_r) / abs(om_r)
+            # ALL of our roots within 2.5% of the entry, not just the
+            # nearest: the recheck arbiter compares its converged dip
+            # against these - with only the nearest, a pickle entry sitting
+            # between two true zeros gets classified both_off even when we
+            # found the dip's zero too (it just was not the nearest one)
+            near = ours[np.abs(ours - om_r) < 0.025 * abs(om_r)]
+            window = [float(x) for x in
+                      near[np.argsort(np.abs(near - om_r))][:6]]
             errs.append(rel)
             # relative-in-omega OR absolute-in-phase-speed: the reference
             # seeds its bands uniformly in v = omega/k (`test_freq =
@@ -187,7 +196,7 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
         else:
             errs.append(np.inf)
         if not hit and misses is not None:
-            misses.append((om_r, k_r, rel, om_near))
+            misses.append((om_r, k_r, rel, om_near, window))
     errs = np.asarray(errs) if errs else np.asarray([np.nan])
     fin = errs[np.isfinite(errs)]
     return {
@@ -285,15 +294,15 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
                                   tol=spec.get("tol", 3e-3), misses=misses)
         out[bname]["ref_total"] = len(br)
         if misses:
-            ms = np.asarray(misses)
             out[bname]["misses"] = {
-                "omega_ref": ms[:, 0].tolist(),
-                "k": ms[:, 1].tolist(),
-                "v_phase": np.round(ms[:, 0] / ms[:, 1], 4).tolist(),
-                "rel_err": [round(float(e), 5) if np.isfinite(e) else None
-                            for e in ms[:, 2]],
-                "omega_ours": [float(o) if np.isfinite(o) else None
-                               for o in ms[:, 3]]}
+                "omega_ref": [m[0] for m in misses],
+                "k": [m[1] for m in misses],
+                "v_phase": [round(m[0] / m[1], 4) for m in misses],
+                "rel_err": [round(float(m[2]), 5) if np.isfinite(m[2])
+                            else None for m in misses],
+                "omega_ours": [float(m[3]) if np.isfinite(m[3]) else None
+                               for m in misses],
+                "omega_ours_window": [m[4] for m in misses]}
     return out
 
 
