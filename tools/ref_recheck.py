@@ -328,7 +328,13 @@ def cylinder_residual(p, om, k, parity, m=None, signed=False):
     xi_e_const = -1.0 / (rho_e * (k**2 * vA_e**2 - om**2))
 
     L = p["wavelengths"] * 2.0 * np.pi / k
-    se = _ivp(lambda r, P: [P[1], -P[1] / r + (m_e + 1.0 / r**2) * P[0]],
+    # parity-dependent m^2/r^2: the reference's sausage block integrates
+    # with 0/r^2 (`Cylinder_method_flow_testing.py:935`), the kink block
+    # with 1/r^2 (`:638`). Hardcoding 1 here shifted every rechecked
+    # SAUSAGE dip by ~0.5% (measured at cyl_flow_06 k=2.49: dip 8.1525
+    # with the wrong term vs 8.1925 with m^2 - exactly our f64 zero
+    # 8.19280), misclassifying our correct roots as both_off.
+    se = _ivp(lambda r, P: [P[1], -P[1] / r + (m_e + (m * m) / r**2) * P[0]],
               (-L, -1.0), [1e-8, 1e-8])
     if se is None:
         return np.nan
