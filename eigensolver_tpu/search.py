@@ -110,9 +110,13 @@ def find_brackets(omegas: jnp.ndarray, ks: jnp.ndarray, det: jnp.ndarray,
     n_in_row = jnp.sum(is_br, axis=1)
     # Top-K selection instead of a full-row argsort: XLA's variadic sort of a
     # (rows, n_omega) float key costs ~40% of the whole slab sweep on TPU
-    # (measured r03 -> r04; the r02->r03 throughput regression), while TopK
+    # (measured r03 -> r04; the r02->r03 regression), while TopK
     # with k = max_per_row is a cheap partial reduction. XLA TopK breaks ties
     # toward lower indices, matching the previous stable argsort order.
+    # lax.top_k requires k <= the last-axis size (n_omega - 1 candidate
+    # brackets per row): clamp rather than fail at trace time when a caller
+    # pairs a short ladder with a large bracket budget (ADVICE r04 #3).
+    max_per_row = min(max_per_row, is_br.shape[1])
     if mism is not None:
         big = jnp.where(jnp.isfinite(mism), mism, jnp.inf)
         score = jnp.minimum(big[:, :-1], big[:, 1:])

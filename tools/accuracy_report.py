@@ -77,7 +77,13 @@ def _nearest_zero(f_batch, v0, w_start=4e-6, w_max=5e-3, n_scan=257):
             zeros.append(v_star)
         if zeros:
             return min(zeros, key=lambda z: abs(z - v0))
-        w *= 8.0
+        if w == w_max:
+            break
+        # clamp the final iteration TO w_max: the bare x8 ladder ends at
+        # 2.048e-3 and never scans the documented +-0.5% (roots 0.2-0.5%
+        # from the nearest zero silently dropped out of the stats -
+        # ADVICE r04 #1)
+        w = min(w * 8.0, w_max)
     return np.nan
 
 

@@ -1,0 +1,293 @@
+#!/usr/bin/env python
+"""Third-scheme arbiter for the cylinder axial-flow family (cyl_flow_*).
+
+The r03/r04 parity residue concentrated in this family: entries where the
+reference's converged residual dip, our f64 zero, and the shipped pickle
+value form a three-way ~0.5% disagreement (VERDICT r04 missing #1). Two
+INDEPENDENT schemes - neither shared with our JAX shoot (RK4 flux-form,
+`eigensolver_tpu/physics/cylinder.py`) nor with the recheck's replication
+of the reference (LSODA + fsolve shooting, `tools/ref_recheck.py`) - break
+the tie:
+
+uniform cases (cyl_flow_noflow U=0, cyl_flow_1e5 width=1e5):
+    the analytic (Doppler) Edwin-Roberts dispersion relation. The interior
+    is exactly uniform, so the interior solution is J_m/I_m in closed form
+    and the eigenvalue condition is a scipy.special Bessel-ratio equation -
+    no ODE integration anywhere.
+
+non-uniform cases (cyl_flow_06 W=0.6, cyl_flow_1 W=1.0):
+    Chebyshev collocation of the Hain-Lust interior
+    (`Cylinder_method_flow_testing.py:575-626` coefficient chain with the
+    Doppler shift `:577-578`, C1 = 0 for v_phi = B_phi = 0): the flux-form
+    equation F P'' + F' P' - g P = 0 is discretized with dense spectral
+    differentiation matrices on Gauss-Lobatto nodes (global polynomial -
+    a different discretization class from both marching schemes), the BVP
+    {P(eps) = 0 (kink) | P'(eps) = 0 (sausage), P(1) = 1} is solved
+    directly, and the interface residual xi_i(1) - xi_e(1) (exact K_m
+    exterior) is driven to zero in omega by bisection. Spectral convergence
+    is verified per-entry by doubling N.
+
+For every disputed entry the tool reports which of {pickle, ours} the
+independent scheme confirms, plus the reference-metric residual AT the
+shipped value (its distance into the xi_tol = 6% acceptance swath,
+`Cylinder_method_flow_testing.py:530` break-on-accept) - the quantitative
+evidence for classifying first-acceptance noise.
+
+Usage:
+  python tools/oracle_cylflow.py artifacts/repro_r05_cylflow.json \
+      --out artifacts/oracle_cylflow_r05.json
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+from numpy.polynomial import chebyshev as _cheb
+from scipy.optimize import brentq
+from scipy.special import ive, iv, ivp, jv, jvp, kve
+
+sys.path.insert(0, ".")
+
+GAMMA = 5.0 / 3.0
+
+
+def params_for(name):
+    """Equilibrium constants of the cyl_flow family
+    (`Cylinder_method_flow_testing.py:60-80`; U/width identified in
+    tools/reproduce.py TARGETS)."""
+    base = dict(c_i0=1.0, vA_i0=2.0, c_e=0.5, vA_e=5.0, rho_i0=1.0)
+    table = {
+        "cyl_flow_noflow": dict(U=0.0, width=1.0, uniform=True),
+        "cyl_flow_1e5": dict(U=0.05, width=1e5, uniform=True),
+        "cyl_flow_06": dict(U=0.05, width=0.6, uniform=False),
+        "cyl_flow_1": dict(U=0.05, width=1.0, uniform=False),
+    }
+    if name not in table:
+        return None
+    p = dict(base, **table[name])
+    p["rho_e"] = (p["rho_i0"] * (p["c_i0"] ** 2 + GAMMA / 2 * p["vA_i0"] ** 2)
+                  / (p["c_e"] ** 2 + GAMMA / 2 * p["vA_e"] ** 2))
+    p["cT_e"] = np.sqrt(p["c_e"] ** 2 * p["vA_e"] ** 2
+                        / (p["c_e"] ** 2 + p["vA_e"] ** 2))
+    p["cT_i"] = np.sqrt(p["c_i0"] ** 2 * p["vA_i0"] ** 2
+                        / (p["c_i0"] ** 2 + p["vA_i0"] ** 2))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# scheme 1: analytic (Doppler) Edwin-Roberts for the uniform cases
+# ---------------------------------------------------------------------------
+
+def _m2_ext(p, om, k):
+    return ((k ** 2 * p["vA_e"] ** 2 - om ** 2) * (k ** 2 * p["c_e"] ** 2 - om ** 2)
+            / ((p["vA_e"] ** 2 + p["c_e"] ** 2) * (k ** 2 * p["cT_e"] ** 2 - om ** 2)))
+
+
+def _xi_ratio_ext(p, om, k, m):
+    """Exterior xi_r(1)/P(1) for the decaying K_m solution (exact)."""
+    me2 = _m2_ext(p, om, k)
+    if me2 <= 0:
+        return np.nan
+    ke = np.sqrt(me2)
+    dK_over_K = -0.5 * (kve(m - 1, ke) + kve(m + 1, ke)) / kve(m, ke)
+    return (ke * dK_over_K) / (p["rho_e"] * (om ** 2 - k ** 2 * p["vA_e"] ** 2))
+
+
+def er_residual(p, om, k, m):
+    """Signed xi-ratio mismatch of the uniform (Doppler) Edwin-Roberts
+    relation; zeros are the exact eigenvalues."""
+    w = om - k * p["U"]                # uniform Doppler shift
+    mi2 = ((k ** 2 * p["c_i0"] ** 2 - w ** 2) * (k ** 2 * p["vA_i0"] ** 2 - w ** 2)
+           / ((p["c_i0"] ** 2 + p["vA_i0"] ** 2) * (k ** 2 * p["cT_i"] ** 2 - w ** 2)))
+    if mi2 < 0:
+        n = np.sqrt(-mi2)
+        ratio = n * jvp(m, n) / jv(m, n)
+    else:
+        n = np.sqrt(mi2)
+        ratio = n * ivp(m, n) / iv(m, n)
+    xi_i = ratio / (p["rho_i0"] * (w ** 2 - k ** 2 * p["vA_i0"] ** 2))
+    xi_e = _xi_ratio_ext(p, om, k, m)
+    den = max(abs(xi_i), abs(xi_e))
+    return (xi_e - xi_i) / den if den > 0 else np.nan
+
+
+# ---------------------------------------------------------------------------
+# scheme 2: Chebyshev collocation of the Hain-Lust interior (non-uniform v_z)
+# ---------------------------------------------------------------------------
+
+def _cheb_diff(n, a, b):
+    """(nodes, D1) Gauss-Lobatto differentiation on [a, b] (Trefethen's
+    standard construction, mapped)."""
+    x = np.cos(np.pi * np.arange(n + 1) / n)          # [1, -1]
+    c = np.ones(n + 1)
+    c[0] = c[-1] = 2.0
+    c *= (-1.0) ** np.arange(n + 1)
+    X = np.tile(x, (n + 1, 1)).T
+    dX = X - X.T
+    D = np.outer(c, 1.0 / c) / (dX + np.eye(n + 1))
+    D -= np.diag(D.sum(axis=1))
+    # map [1,-1] -> [b,a]: r = (b+a)/2 + (b-a)/2 * x
+    r = 0.5 * (b + a) + 0.5 * (b - a) * x
+    return r, D * (2.0 / (b - a))
+
+
+def colloc_residual(p, om, k, m, n=256, eps=1e-4):
+    """Signed xi-ratio mismatch from spectral collocation of
+    F P'' + F' P' - g P = 0 on [eps, 1] with the parity axis BC, against
+    the exact K_m exterior. Independent of all marching schemes."""
+    rho, W, U = p["rho_i0"], p["width"], p["U"]
+    B = p["vA_i0"] * np.sqrt(rho)
+
+    r, D1 = _cheb_diff(n, eps, 1.0)
+
+    vz = U * np.exp(-r ** 2 / W ** 2)
+    shift = om - k * vz
+    alf2 = k ** 2 * B ** 2 / rho
+    c2 = p["c_i0"] ** 2
+    vA2 = p["vA_i0"] ** 2
+    cT2 = p["cT_i"] ** 2
+    Dcoef = rho * (c2 + vA2) * (shift ** 2 - alf2) * (shift ** 2 - alf2 * c2 / (c2 + vA2))
+    C2 = shift ** 4 - (c2 + vA2) * (m ** 2 / r ** 2 + k ** 2) * (shift ** 2 - alf2 * c2 / (c2 + vA2))
+    F = r * Dcoef / (Dcoef * rho * (shift ** 2 - alf2))   # = r/(rho(shift^2-alf2))
+    g = -r * C2 / Dcoef
+    Fp = D1 @ F                                            # spectral derivative
+
+    # rows: F P'' + F' P' - g P = 0 at interior nodes; BC rows at ends.
+    A = (F[:, None] * (D1 @ D1)) + (Fp[:, None] * D1) - np.diag(g)
+    rhs = np.zeros(n + 1)
+    # node order: r[0] = 1.0 (x=+1) ... r[n] = eps
+    A[0, :] = 0.0
+    A[0, 0] = 1.0
+    rhs[0] = 1.0                                           # P(1) = 1
+    if m == 0:
+        A[n, :] = D1[n, :]                                 # P'(eps) = 0
+    else:
+        A[n, :] = 0.0
+        A[n, n] = 1.0                                      # P(eps) = 0
+    rhs[n] = 0.0
+    try:
+        P = np.linalg.solve(A, rhs)
+    except np.linalg.LinAlgError:
+        return np.nan
+    dP1 = float(D1[0, :] @ P)
+    xi_i = dP1 / (rho * (shift[0] ** 2 - alf2))
+    xi_e = _xi_ratio_ext(p, om, k, m)
+    den = max(abs(xi_i), abs(xi_e))
+    return (xi_e - xi_i) / den if den > 0 else np.nan
+
+
+# ---------------------------------------------------------------------------
+# zero location + classification
+# ---------------------------------------------------------------------------
+
+def nearest_zero(f, om0, rel_halfwidth=2e-2, n=129):
+    """Zero of f nearest om0 within om0*(1 +- rel_halfwidth); None if no
+    sign change (poles rejected by the |f| < 0.5 smallness check - f is a
+    normalised ratio mismatch, O(1) at poles)."""
+    oms = np.linspace(om0 * (1 - rel_halfwidth), om0 * (1 + rel_halfwidth), n)
+    fs = np.array([f(o) for o in oms])
+    fin = np.isfinite(fs)
+    zeros = []
+    for i in range(n - 1):
+        if fin[i] and fin[i + 1] and fs[i] * fs[i + 1] < 0:
+            try:
+                z = brentq(f, oms[i], oms[i + 1], xtol=1e-13 * abs(om0),
+                           maxiter=100)
+            except Exception:
+                continue
+            if abs(f(z)) < 0.5:
+                zeros.append(z)
+    if not zeros:
+        return None
+    return min(zeros, key=lambda z: abs(z - om0))
+
+
+def judge_entry(p, name, om_ref, k, parity, ours_window, tol):
+    m = 0 if parity == "sausage" else 1
+    sgn = 1.0 if om_ref >= 0 else -1.0
+    omr, kk = abs(om_ref), abs(k)
+    if p["uniform"]:
+        scheme = "analytic Doppler Edwin-Roberts"
+        # evaluate at the SIGNED omega: backward (om < 0) Doppler modes are
+        # not mirrors of forward ones when U != 0
+        f = lambda om: er_residual(p, sgn * om, kk, m)
+        z = nearest_zero(f, omr)
+        conv = None
+    else:
+        scheme = "Chebyshev collocation (N=256) of the Hain-Lust interior"
+        f = lambda om: colloc_residual(p, sgn * om, kk, m, n=256)
+        z = nearest_zero(f, omr)
+        if z is not None:
+            f2 = lambda om: colloc_residual(p, sgn * om, kk, m, n=384)
+            z2 = nearest_zero(f2, z, rel_halfwidth=2e-3, n=33)
+            conv = (abs(z2 - z) / z if z2 is not None else None)
+            if z2 is not None:
+                z = z2
+    out = dict(k=k, omega_ref=om_ref, parity=parity, scheme=scheme)
+    if z is None:
+        out["verdict"] = "no_oracle_zero"
+        return out
+    z = sgn * z
+    out["omega_oracle"] = z
+    if conv is not None:
+        out["colloc_convergence_rel"] = round(float(conv), 10)
+    dev_ref = abs(z - om_ref) / abs(z)
+    ours = [o for o in (ours_window or []) if o is not None]
+    dev_ours = min((abs(z - o) / abs(z) for o in ours), default=np.inf)
+    out["dev_ref"] = round(float(dev_ref), 7)
+    out["dev_ours"] = (round(float(dev_ours), 7)
+                       if np.isfinite(dev_ours) else None)
+    # reference-metric residual AT the shipped value: how deep inside the
+    # xi_tol = 6% first-acceptance swath it sits
+    try:
+        out["resid_at_ref_pct"] = round(100.0 * abs(f(omr)), 4)
+    except Exception:
+        pass
+    if dev_ours < tol <= dev_ref:
+        out["verdict"] = "ours_confirmed"
+    elif dev_ref < tol <= dev_ours:
+        out["verdict"] = "ref_confirmed"
+    elif dev_ref < tol and dev_ours < tol:
+        out["verdict"] = "both_within_tol"
+    else:
+        out["verdict"] = "neither"
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("repro_json", help="tools/reproduce.py --json output")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--tol", type=float, default=3e-3)
+    args = ap.parse_args()
+
+    reports = json.load(open(args.repro_json))
+    detail = {}
+    for rep in reports:
+        name = rep.get("target")
+        p = params_for(name) if name else None
+        if p is None:
+            continue
+        rows = []
+        for br in ("sausage", "kink"):
+            mis = rep.get(br, {}).get("misses")
+            if not mis:
+                continue
+            wins = mis.get("omega_ours_window") or [None] * len(mis["k"])
+            for om_r, k, win, om_o in zip(mis["omega_ref"], mis["k"], wins,
+                                          mis["omega_ours"]):
+                rows.append(judge_entry(p, name, om_r, k, br,
+                                        win or ([om_o] if om_o else []),
+                                        args.tol))
+        detail[name] = rows
+        counts = {}
+        for r in rows:
+            counts[r["verdict"]] = counts.get(r["verdict"], 0) + 1
+        print(json.dumps({"target": name, "oracle_verdicts": counts}))
+    if args.out:
+        json.dump({"detail": detail}, open(args.out, "w"), indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

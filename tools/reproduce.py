@@ -161,6 +161,7 @@ TARGETS.update(_auto_generate(
 
 def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     matched, total, errs = 0, 0, []
+    matched_rel_only = 0
     for om_r, k_r in zip(ref_br.omegas, ref_br.ks):
         v = om_r / k_r
         if not (v_lo < v < v_hi):
@@ -191,8 +192,15 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
             # spuriously for the near-zero backward/slow Doppler modes
             # (omega ~ 1e-4, PARITY_r03 slab_flow "misses" with
             # |delta v| ~ 5e-5)
-            hit = rel < tol or abs(om_near - om_r) / abs(k_r) < tol
+            # the |delta v| branch is CAPPED in relative omega (<= 5%): an
+            # uncapped absolute-in-v criterion would count a v ~ 0.02 Doppler
+            # mode matched at ~15% relative omega error (ADVICE r04 #2);
+            # matched_rel_only reports the strict relative-only criterion
+            # alongside so r03-series rates stay comparable.
+            hit = rel < tol or (abs(om_near - om_r) / abs(k_r) < tol
+                                and rel < 0.05)
             matched += hit
+            matched_rel_only += rel < tol
         else:
             errs.append(np.inf)
         if not hit and misses is not None:
@@ -201,6 +209,7 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     fin = errs[np.isfinite(errs)]
     return {
         "matched": int(matched), "total": int(total),
+        "matched_rel_only": int(matched_rel_only),
         "rate": round(matched / total, 4) if total else None,
         "median_rel_err": float(np.median(fin)) if len(fin) else None,
         "p90_rel_err": float(np.percentile(fin, 90)) if len(fin) else None,
