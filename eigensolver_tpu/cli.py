@@ -211,7 +211,7 @@ def cmd_movie(args):
     _apply_device(args)
     from .roots import load_pickle
     from .synthesis import FieldGrid, boundary_surface, synthesize, to_cartesian
-    from .viz import animate_cross_section
+    from .viz import animate_cross_section, animate_tube_3d
 
     case = _build_case(args)
     rs = load_pickle(args.pickle, case.name)
@@ -219,7 +219,12 @@ def cmd_movie(args):
     grid = FieldGrid.standard(ef.omega, n_t=args.frames)
     fields = to_cartesian(synthesize(ef, grid), grid)
     bnd = boundary_surface(fields, grid, amplitude=0.2)
-    out = animate_cross_section(fields, grid, args.output, boundary=bnd)
+    if getattr(args, "three_d", False):
+        # 3-D advected-tube-surface view + two z cross-sections
+        # (`Gaussian_flow_Cylinder_movie.py:1166-1232`)
+        out = animate_tube_3d(fields, grid, args.output, boundary=bnd)
+    else:
+        out = animate_cross_section(fields, grid, args.output, boundary=bnd)
     print(f"saved {out}")
 
 
@@ -245,11 +250,25 @@ def cmd_vorticity(args):
     xs, ys, zs, vel, vort, PT = vorticity_pipeline(
         ef, grid, n_xy=args.n_xy, t_index=args.t_index,
         background_v_phi=bg_vphi, background_v_z=bg_vz)
-    out = vorticity_cut_figure(
-        xs, ys, zs, vel, vort, PT=PT, cut=args.cut, index=args.cut_index,
-        path=args.output,
-        title=f"{case.name} {args.branch} k={ef.k:.3g} "
-              f"$\\omega$={ef.omega:.4g} ({args.cut}-cut)")
+    title = (f"{case.name} {args.branch} k={ef.k:.3g} "
+             f"$\\omega$={ef.omega:.4g}")
+    if getattr(args, "three_d", False):
+        # native 3-D all-components view (`Vorticity_gaussian_flow_3D.py:
+        # 993-1042`): velocity + full vorticity-vector quivers with the
+        # advected boundary
+        from .synthesis import boundary_surface, synthesize, to_cartesian
+        from .viz import vorticity_3d_figure
+        fields = to_cartesian(synthesize(ef, grid), grid)
+        bx, by = boundary_surface(fields, grid, amplitude=0.2)
+        out = vorticity_3d_figure(
+            xs, ys, zs, vel, vort,
+            boundary=(bx[args.t_index], by[args.t_index]),
+            path=args.output, title=title + " (3-D)")
+    else:
+        out = vorticity_cut_figure(
+            xs, ys, zs, vel, vort, PT=PT, cut=args.cut,
+            index=args.cut_index, path=args.output,
+            title=title + f" ({args.cut}-cut)")
     print(f"saved {out}")
 
 
@@ -310,6 +329,11 @@ def main(argv=None):
             p.add_argument("--n-xy", type=int, default=96)
             p.add_argument("--background", action="store_true",
                            help="add the equilibrium flow/rotation to v")
+        if name in ("movie", "vorticity"):
+            p.add_argument("--three-d", action="store_true", dest="three_d",
+                           help="3-D view: advected-tube-surface movie "
+                                "(movie) / all-components vorticity figure "
+                                "(vorticity)")
         if name in ("analyze", "eigenfunction"):
             p.add_argument("--plot", default=None)
         if name == "analyze":

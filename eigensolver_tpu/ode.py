@@ -19,10 +19,15 @@ from jax import lax
 RHS = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def rk4_final(rhs: RHS, y0, x0, x1, n_steps: int):
+def rk4_final(rhs: RHS, y0, x0, x1, n_steps: int, unroll: int = 1):
     """Integrate dy/dx = rhs(x, y) from x0 to x1 with `n_steps` classical RK4
     steps; return y(x1). x0/x1 may be traced scalars (per-candidate domains,
-    e.g. the exterior extent 3*2*pi/k of `Density_cylinder.py:552`)."""
+    e.g. the exterior extent 3*2*pi/k of `Density_cylinder.py:552`).
+
+    unroll: forwarded to `lax.scan` - unrolling several RK4 steps per loop
+    iteration lets XLA fuse across step boundaries and amortise the TPU
+    loop overhead (each scan iteration of a small elementwise body pays a
+    fixed sequential cost that dominates a 2048-step integration)."""
     h = (x1 - x0) / n_steps
 
     def step(carry, i):
@@ -38,7 +43,7 @@ def rk4_final(rhs: RHS, y0, x0, x1, n_steps: int):
         )
         return y_next, None
 
-    yf, _ = lax.scan(step, y0, jnp.arange(n_steps))
+    yf, _ = lax.scan(step, y0, jnp.arange(n_steps), unroll=unroll)
     return yf
 
 

@@ -205,7 +205,8 @@ class CylinderPhysics:
 
             r1 = jnp.asarray(1.0, dtype)
             re_ = jnp.asarray(eps, dtype)
-            state = rk4_final(rhs_int2, u0, r1, re_, n_int)
+            state = rk4_final(rhs_int2, u0, r1, re_, n_int,
+                              unroll=gr.scan_unroll)
             if not twisted and gr.axis_epsilon_final < eps:
                 # log-spaced tail eps -> eps_final in t = ln r: the 1/r
                 # coefficient terms are O(1) in t, so fixed steps stay
@@ -222,7 +223,7 @@ class CylinderPhysics:
                 state = rk4_final(rhs_log, state, jnp.log(re_),
                                   jnp.log(jnp.asarray(gr.axis_epsilon_final,
                                                       dtype)),
-                                  gr.n_axis_log)
+                                  gr.n_axis_log, unroll=gr.scan_unroll)
             P1e, w1e, P2e, w2e = state
             u1 = (P1e, w1e)
             u2 = (P2e, w2e)
@@ -268,7 +269,8 @@ class CylinderPhysics:
 
                 y0 = jnp.stack([jnp.asarray(1e-8, cdtype),
                                 jnp.asarray(-1e-8, cdtype)])
-                ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext)
+                ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext,
+                               unroll=gr.scan_unroll)
                 P_e, dP_e = ye[0], ye[1]
                 dP_e = dP_e / P_e
                 P_e = jnp.ones_like(P_e)

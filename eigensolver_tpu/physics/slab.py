@@ -231,7 +231,8 @@ class SlabPhysics:
                 y0 = jnp.stack([par * jnp.ones_like(F0), (1.0 - par) * F0])
 
                 yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
-                               jnp.asarray(1.0, dtype), n_steps)
+                               jnp.asarray(1.0, dtype), n_steps,
+                               unroll=case.grid.scan_unroll)
                 vx_b, w_b = yb[0], yb[1]
                 Om_i = omega - k * eq.U_i(jnp.asarray(1.0, dtype))
                 PT_i = w_b / Om_i          # PT = F vx' / Omega = w / Omega
@@ -241,7 +242,8 @@ class SlabPhysics:
                 parc = par.astype(cdtype)
                 y0 = jnp.stack([parc, 1.0 - parc])
                 yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
-                               jnp.asarray(1.0, dtype), n_steps)
+                               jnp.asarray(1.0, dtype), n_steps,
+                               unroll=case.grid.scan_unroll)
                 vx_b, dvx_b = yb[0], yb[1]
                 x1 = jnp.asarray(1.0, dtype)
                 Om_i = omega - k * eq.U_i(x1)

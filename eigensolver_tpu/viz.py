@@ -333,3 +333,134 @@ def vorticity_cut_figure(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray,
         plt.close(fig)
         return path
     return fig
+
+
+def vorticity_3d_figure(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray,
+                        vel: Dict[str, np.ndarray], vort: tuple,
+                        boundary: Optional[tuple] = None,
+                        path: Optional[str] = None,
+                        quiver_stride: tuple = (8, 8, 3),
+                        title: Optional[str] = None):
+    """Native 3-D all-components vorticity view.
+
+    Reproduces `Vorticity_gaussian_flow_3D.py:993-1042`: one 3-D axes with
+    the advected tube-boundary points and a subsampled 3-D velocity quiver,
+    beside a second 3-D axes with the full vorticity-vector quiver (the
+    reference interpolates with griddata first; our fields are already on
+    the regular Cartesian grid from `synthesis.vorticity_pipeline`).
+
+    xs, ys, zs: 1-D grid axes; vel: {"v_x","v_y","v_z"} on (x, y, z);
+    vort: (vort_x, vort_y, vort_z); boundary: optional (bx, by) arrays
+    (theta, z) of the advected tube surface (one time slice) plotted as
+    scattered points at each z.
+    """
+    sx, sy, sz = quiver_stride
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    fig = plt.figure(figsize=(12, 6))
+    ax1 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax2 = fig.add_subplot(1, 2, 2, projection="3d")
+
+    def _bound(ax):
+        if boundary is None:
+            return
+        bx, by = boundary
+        bz = np.broadcast_to(np.asarray(zs)[None, :], bx.shape)
+        ax.scatter(bx, by, bz, s=4.0, c="blue", depthshade=False)
+
+    _bound(ax1)
+    ax1.quiver(X[::sx, ::sy, ::sz], Y[::sx, ::sy, ::sz], Z[::sx, ::sy, ::sz],
+               vel["v_x"][::sx, ::sy, ::sz], vel["v_y"][::sx, ::sy, ::sz],
+               vel["v_z"][::sx, ::sy, ::sz], pivot="tail", length=0.025,
+               normalize=False, linewidth=0.5)
+    ax1.set_xlabel("$x$")
+    ax1.set_ylabel("$y$")
+    ax1.set_zlabel("$z$")
+    ax1.set_title("velocity")
+
+    wx, wy, wz = vort
+    _bound(ax2)
+    ax2.quiver(X[::sx, ::sy, ::sz], Y[::sx, ::sy, ::sz], Z[::sx, ::sy, ::sz],
+               wx[::sx, ::sy, ::sz], wy[::sx, ::sy, ::sz],
+               wz[::sx, ::sy, ::sz], pivot="tail", length=0.01,
+               normalize=False, linewidth=0.5, color="firebrick")
+    ax2.set_xlabel("$x$")
+    ax2.set_ylabel("$y$")
+    ax2.set_zlabel("$z$")
+    ax2.set_title("vorticity (all components)")
+    if title:
+        fig.suptitle(title)
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def tube_3d_frame(fields: Dict[str, np.ndarray], grid: FieldGrid,
+                  boundary: tuple, t_index: int = 0,
+                  z_indices: tuple = (0, -1), axes=None,
+                  quiver_stride: int = 6):
+    """One frame of the 3-D advected-tube view: a 3-D `plot_surface` of the
+    displaced boundary beside two cross-section panels (contourf(P_T) +
+    quiver(v) + boundary ring) at the chosen z slices - the reference's
+    movie layout (`Gaussian_flow_Cylinder_movie.py:1166-1232`: ax 3-D
+    surface, ax2 z=0 cut, ax3 upper-z cut)."""
+    bx, by = boundary                      # (t, theta, z)
+    zi = [z if z >= 0 else len(grid.z) + z for z in z_indices]
+    if axes is None:
+        fig = plt.figure(figsize=(12, 6))
+        ax3d = fig.add_subplot(1, 2, 1, projection="3d")
+        axc = [fig.add_subplot(2, 3, 3), fig.add_subplot(2, 3, 6)]
+    else:
+        ax3d, axc = axes[0], list(axes[1:])
+        fig = ax3d.figure
+    BZ = np.broadcast_to(grid.z[None, :], bx.shape[1:])
+    ax3d.plot_surface(bx[t_index], by[t_index], BZ, color="b", alpha=0.5)
+    r_max = float(grid.r[-1])
+    ax3d.set_xlim(-r_max, r_max)
+    ax3d.set_ylim(-r_max, r_max)
+    ax3d.set_xlabel("$x$")
+    ax3d.set_ylabel("$y$")
+    ax3d.set_zlabel("$z$")
+    for ax, z_i in zip(axc, zi):
+        cross_section_frame(fields, grid, t_index=t_index, z_index=z_i,
+                            boundary=(bx, by), ax=ax,
+                            quiver_stride=quiver_stride)
+        ax.set_title(f"z = {grid.z[z_i]:.3g}")
+    return fig
+
+
+def animate_tube_3d(fields: Dict[str, np.ndarray], grid: FieldGrid,
+                    path: str, boundary: Optional[tuple] = None,
+                    z_indices: tuple = (0, -1), fps: int = 5) -> str:
+    """3-D advected-tube-surface movie (mp4 via ffmpeg; .gif fallback) -
+    the native reproduction of `Gaussian_flow_Cylinder_movie.py:1166-1232`."""
+    from matplotlib import animation
+
+    from .synthesis import boundary_surface
+
+    if boundary is None:
+        boundary = boundary_surface(fields, grid)
+    fig = plt.figure(figsize=(12, 6))
+    ax3d = fig.add_subplot(1, 2, 1, projection="3d")
+    axc1 = fig.add_subplot(2, 3, 3)
+    axc2 = fig.add_subplot(2, 3, 6)
+    n_t = fields["P_T"].shape[0]
+
+    def frame(ti):
+        ax3d.clear()
+        axc1.clear()
+        axc2.clear()
+        tube_3d_frame(fields, grid, boundary, t_index=ti,
+                      z_indices=z_indices, axes=(ax3d, axc1, axc2))
+        return []
+
+    ani = animation.FuncAnimation(fig, frame, frames=n_t, blit=False)
+    try:
+        writer = animation.FFMpegWriter(fps=fps)
+        ani.save(path, writer=writer)
+    except (FileNotFoundError, RuntimeError):
+        path = path.rsplit(".", 1)[0] + ".gif"
+        ani.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path

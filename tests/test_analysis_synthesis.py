@@ -222,3 +222,44 @@ def test_vorticity_pipeline_and_figure(tmp_path):
         out = vorticity_cut_figure(xs, ys, zs, vel, vort, PT=PT, cut=cut,
                                    path=str(p))
         assert p.exists() and p.stat().st_size > 0
+
+
+def test_vorticity_3d_figure(tmp_path):
+    """Native 3-D all-components view (`Vorticity_gaussian_flow_3D.py:
+    993-1042`): velocity + vorticity 3-D quivers with the advected boundary
+    scatter render and save."""
+    from eigensolver_tpu.synthesis import vorticity_pipeline
+    from eigensolver_tpu.viz import vorticity_3d_figure
+
+    ef = _fake_ef()
+    grid = FieldGrid(t=np.linspace(0, 1, 2), r=np.linspace(0.05, 2.0, 30),
+                     theta=np.linspace(0, 2 * np.pi, 24),
+                     z=np.linspace(0.01, 2.0, 5))
+    xs, ys, zs, vel, vort, PT = vorticity_pipeline(ef, grid, n_xy=24)
+    fields = to_cartesian(synthesize(ef, grid), grid)
+    bx, by = boundary_surface(fields, grid, amplitude=0.2)
+    p = tmp_path / "vort3d.png"
+    out = vorticity_3d_figure(xs, ys, zs, vel, vort,
+                              boundary=(bx[0], by[0]), path=str(p))
+    assert p.exists() and p.stat().st_size > 5000
+
+
+def test_tube_3d_movie(tmp_path):
+    """3-D advected-tube-surface movie (`Gaussian_flow_Cylinder_movie.py:
+    1166-1232`): plot_surface + two z cross-sections, animated and saved
+    (gif fallback when ffmpeg is absent)."""
+    from eigensolver_tpu.viz import animate_tube_3d, tube_3d_frame
+
+    ef = _fake_ef()
+    grid = FieldGrid(t=np.linspace(0, 1, 3), r=np.linspace(0.05, 2.0, 30),
+                     theta=np.linspace(0, 2 * np.pi, 24),
+                     z=np.linspace(0.01, 2.0, 5))
+    fields = to_cartesian(synthesize(ef, grid), grid)
+    bnd = boundary_surface(fields, grid, amplitude=0.2)
+    fig = tube_3d_frame(fields, grid, bnd, t_index=0, z_indices=(0, -1))
+    assert len(fig.axes) == 3
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    out = animate_tube_3d(fields, grid, str(tmp_path / "tube.mp4"),
+                          boundary=bnd)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
