@@ -158,6 +158,15 @@ class GridConfig:
     #                 families at the same seed count (near-edge spacing
     #                 ~ width/n^2 instead of width/n).
     ladder_shape: str = "uniform"
+    # Fraction of each speed band's width shaved off both band edges before
+    # seeding the omega ladder (band edges sit on characteristic-speed
+    # singularities; evaluating exactly there produces inf/NaN dets). 1e-3
+    # is safe everywhere, but band edges that are NOT poles (e.g. c_kink in
+    # the cylinder-flow band lists) can hide zeros inside the shaved margin:
+    # the k=0.01 principal kink hugs c_kink at ~2.7e-4 of band width
+    # (PARITY r04/r05 cyl_flow k=0.01 misses). Lower per-case when an
+    # accumulation speed is a band edge.
+    ladder_edge_shrink: float = 1e-3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,7 +160,7 @@ def reconstruct_cylinder(case: CaseConfig, m: int, omega: float, k: float,
     eps = gr.axis_epsilon
     twisted = case.twist_profile is not None
 
-    Dfun, C1fun, C3fun, Ffun, gfun, invFfun = ph.coefficients(
+    Dfun, C1fun, C3fun, Ffun, gfun, invFfun, _ = ph.coefficients(
         omega, k, m, twisted_c1=twisted)
 
     def rhs_int(r, y):

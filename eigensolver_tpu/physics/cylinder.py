@@ -40,9 +40,49 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from ..config import CaseConfig
 from ..equilibrium import Equilibrium, make_equilibrium
 from ..ode import rk4_final
+
+
+def _rk4_linear2(coef, y0, x0, x1, n_steps: int, unroll: int = 1):
+    """Classical RK4 specialised to the two-basis LINEAR system
+    d(P, w)/dx = (w * iF, g * P): the coefficient chain `coef(x) -> (iF, g)`
+    - the expensive part, carrying the whole Hain-Lust chain - is evaluated
+    at the 3 distinct RK4 abscissae (x, x + h/2, x + h) instead of once per
+    stage (k2 and k3 share the midpoint chain, which XLA's CSE does not
+    reliably merge across stage boundaries; measured on the TPU interior
+    scan). The y-update arithmetic is identical to `ode.rk4_final` over
+    `rhs_int2`, so integrated states are bit-identical where CSE did merge
+    and mathematically identical everywhere."""
+    h = (x1 - x0) / n_steps
+
+    def apply(c, y):
+        iF, g = c
+        P1, w1, P2, w2 = y
+        return (w1 * iF, g * P1, w2 * iF, g * P2)
+
+    def axpy(a, y, k):
+        return tuple(yi + a * ki for yi, ki in zip(y, k))
+
+    def step(y, i):
+        x = x0 + i * h
+        cA = coef(x)
+        cM = coef(x + 0.5 * h)
+        cB = coef(x + h)
+        k1 = apply(cA, y)
+        k2 = apply(cM, axpy(0.5 * h, y, k1))
+        k3 = apply(cM, axpy(0.5 * h, y, k2))
+        k4 = apply(cB, axpy(h, y, k3))
+        y_next = tuple(
+            yi + (h / 6.0) * (a + 2 * b + 2 * c_ + d)
+            for yi, a, b, c_, d in zip(y, k1, k2, k3, k4))
+        return y_next, None
+
+    yf, _ = lax.scan(step, y0, jnp.arange(n_steps), unroll=unroll)
+    return yf
 
 
 class CylinderInterface(NamedTuple):
@@ -146,7 +186,28 @@ class CylinderPhysics:
             return (-drc1c3(r)
                     - r * (C2fun(r) - C1fun(r) ** 2 / C3fun(r)) / Dfun(r))
 
-        return Dfun, C1fun, C3fun, Ffun, gfun, invFfun
+        def invF_g(r):
+            # Fused hot-path form of (invFfun, gfun) for the interior RK4
+            # stages: ONE evaluation of the coefficient chain feeds both
+            # outputs, and the d(r C1/C3)/dr term rides a single forward-mode
+            # jvp whose primal IS that shared evaluation (the unfused pair
+            # costs two reverse-mode sweeps plus re-derived chains; XLA CSE
+            # merges some but not the backward passes - measured on the
+            # twisted engine, the dominant per-stage cost). Tangents of the
+            # aux outputs are dead and DCE'd by XLA. Expressions are
+            # identical to invFfun/gfun, so density/axial-flow results are
+            # bit-identical (their C1/C3diff fold to zero either way).
+            def full(rr):
+                return rc1c3(rr), (Dfun(rr), C1fun(rr), C3fun(rr),
+                                   Afun(rr), Bfun(rr), C2fun(rr))
+
+            (rc, aux), (drc, _) = jax.jvp(full, (r,), (jnp.ones_like(r),))
+            D, C1, C3, A, B, C2 = aux
+            invF = A / r + B / (r * D)
+            g = -drc - r * (C2 - C1 ** 2 / C3) / D
+            return invF, g
+
+        return Dfun, C1fun, C3fun, Ffun, gfun, invFfun, invF_g
 
     def exterior_m(self, omega, k):
         rg = self.eq.regime
@@ -178,8 +239,8 @@ class CylinderPhysics:
             mm = jnp.asarray(m_arg, dtype)   # azimuthal order, traced
             rg = eq.regime
 
-            Dfun, C1fun, C3fun, Ffun, gfun, invFfun = self.coefficients(
-                omega, k, mm, twisted_c1=twisted)
+            (Dfun, C1fun, C3fun, Ffun, gfun, invFfun,
+             invF_g) = self.coefficients(omega, k, mm, twisted_c1=twisted)
 
             # ---- interior: two basis solutions, inward r: 1 -> eps ----------
             # Both bases ride ONE scan with a TUPLE state (P1, w1, P2, w2):
@@ -191,12 +252,6 @@ class CylinderPhysics:
             # column slices + re-stacks (measured 4.7x SLOWER than two
             # scans on CPU); four separate (batch,) arrays keep each stage
             # purely elementwise.
-            def rhs_int2(r, y):
-                P1, w1, P2, w2 = y
-                iF = invFfun(r)
-                g = gfun(r)
-                return (w1 * iF, g * P1, w2 * iF, g * P2)
-
             one = jnp.ones((), cdtype)
             zero = jnp.zeros((), cdtype)
             F1 = Ffun(jnp.asarray(1.0, dtype))
@@ -205,8 +260,8 @@ class CylinderPhysics:
 
             r1 = jnp.asarray(1.0, dtype)
             re_ = jnp.asarray(eps, dtype)
-            state = rk4_final(rhs_int2, u0, r1, re_, n_int,
-                              unroll=gr.scan_unroll)
+            state = _rk4_linear2(invF_g, u0, r1, re_, n_int,
+                                 unroll=gr.scan_unroll)
             if not twisted and gr.axis_epsilon_final < eps:
                 # log-spaced tail eps -> eps_final in t = ln r: the 1/r
                 # coefficient terms are O(1) in t, so fixed steps stay
@@ -215,15 +270,18 @@ class CylinderPhysics:
                 # .GridConfig.axis_epsilon_final); at 1e-5 it is ~1e-10.
                 # Twisted cases keep the reference's eps (axis cutoff is
                 # physics there: v_phi ~ r^(p-1)).
-                def rhs_log(t, y):
+                def coef_log(t):
+                    # in t = ln r the linear system's coefficients are
+                    # (r iF, r g) - same chain, same arithmetic as the
+                    # previous rhs_log wrapper
                     r = jnp.exp(t)
-                    dy = rhs_int2(r, y)
-                    return tuple(r * d for d in dy)
+                    iF, g = invF_g(r)
+                    return (r * iF, r * g)
 
-                state = rk4_final(rhs_log, state, jnp.log(re_),
-                                  jnp.log(jnp.asarray(gr.axis_epsilon_final,
-                                                      dtype)),
-                                  gr.n_axis_log, unroll=gr.scan_unroll)
+                state = _rk4_linear2(coef_log, state, jnp.log(re_),
+                                     jnp.log(jnp.asarray(
+                                         gr.axis_epsilon_final, dtype)),
+                                     gr.n_axis_log, unroll=gr.scan_unroll)
             P1e, w1e, P2e, w2e = state
             u1 = (P1e, w1e)
             u2 = (P2e, w2e)

@@ -71,15 +71,18 @@ def make_dispersion_moded(case: CaseConfig, dtype) -> Callable:
 
 
 def build_ladders(case: CaseConfig, n_omega: Optional[int] = None,
-                  edge_shrink: float = 1e-3):
+                  edge_shrink: Optional[float] = None):
     """(rows, n_omega) omega ladders + (rows,) ks from the (k x band) grid.
 
-    Bands are phase-speed windows: omega in [v_lo k, v_hi k], edges shrunk to
-    avoid evaluating exactly on characteristic-speed singularities (the
+    Bands are phase-speed windows: omega in [v_lo k, v_hi k], edges shrunk
+    by `edge_shrink` (default `case.grid.ladder_edge_shrink`) to avoid
+    evaluating exactly on characteristic-speed singularities (the
     reference seeds `linspace(speeds[i] k, speeds[i+1] k, N)`,
     `multiprocessor_Inhomogeneous_method.py:790-793`).
     """
     n_omega = n_omega or case.grid.n_omega_ladder
+    if edge_shrink is None:
+        edge_shrink = case.grid.ladder_edge_shrink
     ks = np.asarray(case.k_grid())
     speeds = np.asarray(case.sorted_speeds())
     if len(speeds) < 2:

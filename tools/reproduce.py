@@ -217,7 +217,7 @@ def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
 
 
 def run_target(name, spec, scan_dtype="float32", n_omega=384,
-               refine_f64=False, max_brackets_default=24):
+               refine_f64=False, max_brackets_default=24, edge_shrink=None):
     import jax.numpy as jnp
     from eigensolver_tpu import cases as case_mod
     from eigensolver_tpu.roots import load_pickle
@@ -253,6 +253,9 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
     if spec.get("grid"):
         case = dataclasses.replace(
             case, grid=dataclasses.replace(case.grid, **spec["grid"]))
+    if edge_shrink is not None:
+        case = dataclasses.replace(case, grid=dataclasses.replace(
+            case.grid, ladder_edge_shrink=edge_shrink))
     if spec.get("case_extra"):
         case = dataclasses.replace(case, **spec["case_extra"])
     # f32 bisection saturates by ~18 iterations (measured bit-identical vs 45)
@@ -329,6 +332,11 @@ def main():
     ap.add_argument("--n-omega", type=int, default=384)
     ap.add_argument("--refine", action="store_true",
                     help="f64 host-CPU re-bisection of accepted roots")
+    ap.add_argument("--edge-shrink", type=float, default=None,
+                    help="override GridConfig.ladder_edge_shrink (band-edge "
+                         "shave fraction; see config.py - non-pole band "
+                         "edges like c_kink can hide zeros in the default "
+                         "1e-3 margin)")
     args = ap.parse_args()
 
     import jax
@@ -368,7 +376,8 @@ def main():
               file=sys.stderr, flush=True)
         try:
             rep = run_target(t, TARGETS[t], scan_dtype=args.dtype,
-                             n_omega=args.n_omega, refine_f64=args.refine)
+                             n_omega=args.n_omega, refine_f64=args.refine,
+                             edge_shrink=args.edge_shrink)
         except Exception as e:  # keep going; report the failure
             rep = {"target": t, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rep))
