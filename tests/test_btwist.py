@@ -71,7 +71,7 @@ def test_btwist_coefficient_chain_matches_sympy(m):
     ph = CylinderPhysics.from_case(case)
     omega, k = 1.3, 0.9
     oracle = _sympy_chain(case.regime, omega, k, m)
-    Dfun, C1fun, C3fun, Ffun, gfun, invFfun = ph.coefficients(
+    Dfun, C1fun, C3fun, Ffun, gfun, invFfun, invF_g = ph.coefficients(
         jnp.float64(omega), jnp.float64(k), m, twisted_c1=True)
     ours = {"D": Dfun, "C1": C1fun, "C3": C3fun, "F": Ffun, "g": gfun,
             "invF": invFfun}
@@ -82,6 +82,14 @@ def test_btwist_coefficient_chain_matches_sympy(m):
             np.testing.assert_allclose(
                 got, want, rtol=1e-9,
                 err_msg=f"{name}(r={rv}) m={m} mismatch vs sympy oracle")
+        # the fused hot-path evaluator (one shared chain + forward-mode
+        # jvp for the d(r C1/C3)/dr term) must agree with the sympy oracle
+        # too - it is what the interior RK4 actually integrates
+        iF_f, g_f = invF_g(jnp.float64(rv))
+        np.testing.assert_allclose(float(iF_f), float(oracle["invF"](rv)),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(float(g_f), float(oracle["g"](rv)),
+                                   rtol=1e-9)
 
 
 def test_btwist_equilibrium_force_balance():

@@ -36,6 +36,7 @@ def test_sharded_equals_single(small_case):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # fast-tier budget: the Pallas kernel is opt-in and the padding variant duplicates the sharding gate (re-tiered r05; <50 s bar)
 def test_sharded_odd_row_count_padding(small_case):
     """Row counts not divisible by the mesh exercise the padding path."""
     case = dataclasses.replace(small_case, n_k=3)  # 3*3=9 rows over 8 devices

@@ -41,6 +41,7 @@ def test_k_values_small():
                                kv(1, zs), rtol=1e-12)
 
 
+@pytest.mark.slow  # fast-tier budget: the Pallas kernel is opt-in and the padding variant duplicates the sharding gate (re-tiered r05; <50 s bar)
 def test_pallas_kernel_interpret_matches_jax():
     from eigensolver_tpu.kernels.bessel import kve_ratio_pallas
     z = jnp.asarray(np.random.default_rng(1).uniform(0.05, 30, 1024), jnp.float32)
@@ -68,6 +69,7 @@ def test_kve_hot_vmap_matches_scalar():
     assert float(s0) == float(w0) and float(s1) == float(w1)
 
 
+@pytest.mark.slow  # fast-tier budget: the Pallas kernel is opt-in and the padding variant duplicates the sharding gate (re-tiered r05; <50 s bar)
 def test_kve_hot_pallas_branch_is_wired(monkeypatch):
     """Force the dispatch to the Pallas kernel (interpret mode on CPU) and
     check (a) it actually runs, (b) a full cylinder dispersion batch through
