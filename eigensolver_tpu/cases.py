@@ -180,7 +180,12 @@ def cylinder_twisted_photospheric(v_twist: float = 0.1, power: float = 1.0,
         k_min=0.15, k_max=4.0, n_k=60,
         speeds=(0.9, 1.0, 1.1, 1.2, 1.3, 1.4),
         modes=(mode,),
-        grid=GridConfig(axis_epsilon=0.01, n_interior=2048),
+        grid=GridConfig(axis_epsilon=0.01, n_interior=1536),
+        # n_interior 1536 (was 2048): f32-scan twisted roots move <= 0.18%
+        # on 5 of 306 bench roots (all still f64-bracketing), and the
+        # refined parity rates/medians are IDENTICAL to the 2048 runs
+        # (twist_v01_p1 101/102 med 2.005e-3, v015 sfast 160/160,
+        # v025_p1 103/105 - measured r05); -25% interior wall.
     )
 
 
@@ -208,7 +213,12 @@ def cylinder_twisted_magnetic(B_twist: float = 0.1, v_twist: float = 0.0,
         k_min=0.15, k_max=4.0, n_k=60,
         speeds=(0.9, 1.0, 1.1, 1.2, 1.3, 1.4),
         modes=(mode,),
-        grid=GridConfig(axis_epsilon=0.01, n_interior=2048),
+        grid=GridConfig(axis_epsilon=0.01, n_interior=1536),
+        # n_interior 1536 (was 2048): f32-scan twisted roots move <= 0.18%
+        # on 5 of 306 bench roots (all still f64-bracketing), and the
+        # refined parity rates/medians are IDENTICAL to the 2048 runs
+        # (twist_v01_p1 101/102 med 2.005e-3, v015 sfast 160/160,
+        # v025_p1 103/105 - measured r05); -25% interior wall.
     )
 
 

@@ -318,18 +318,35 @@ class CylinderPhysics:
                 P_e = jnp.ones_like(dP_e)
             else:
                 # reference-parity: integrate inward from r_far with tiny ICs
-                # (selects the K_m-growing-inward direction)
+                # (selects the K_m-growing-inward direction). Integration
+                # runs in t = ln r, where the modified-Bessel operator loses
+                # its first-derivative term:  d2P/dt2 = (m^2 + m_e e^{2t}) P.
+                # A uniform grid in r CANNOT cover this domain at small k:
+                # r_far = 3*2pi/k is ~1900 at k = 0.01, so h ~ 3.7 while
+                # K_m(kappa r) varies on scale r ~ 1 near the interface -
+                # the fixed-step integration was unresolved there and the
+                # band-top kink zeros vanished from the determinant (the
+                # PARITY r04/r05 k=0.01 miss cluster; the reference's
+                # adaptive LSODA resolved it, `Density_cylinder.py:628-634`).
+                # In t both regimes are resolved: near-interface variation
+                # has scale dt ~ 1, the outer exponential scale
+                # dt ~ 1/(kappa r_far) >> the step ln(r_far)/n_ext.
                 r_far = gr.exterior_wavelengths * 2.0 * jnp.pi / k
 
-                def rhs_ext(r, y):
-                    P, dP = y[0], y[1]
-                    return jnp.stack([dP, -dP / r + (m_e + (mm * mm) / r ** 2) * P])
+                def rhs_ext_log(t, y):
+                    P, Pdot = y[0], y[1]
+                    r2 = jnp.exp(2.0 * t).astype(cdtype)
+                    return jnp.stack([Pdot, (mm * mm + m_e * r2) * P])
 
-                y0 = jnp.stack([jnp.asarray(1e-8, cdtype),
-                                jnp.asarray(-1e-8, cdtype)])
-                ye = rk4_final(rhs_ext, y0, r_far.astype(dtype), r1, n_ext,
+                t_far = jnp.log(r_far).astype(dtype)
+                # reference ICs [P, dP/dr] = [1e-8, -1e-8] at r_far;
+                # dP/dt = r dP/dr
+                y0 = jnp.stack([jnp.full((), 1e-8, cdtype),
+                                (-1e-8 * r_far).astype(cdtype)])
+                ye = rk4_final(rhs_ext_log, y0, t_far,
+                               jnp.zeros((), dtype), n_ext,
                                unroll=gr.scan_unroll)
-                P_e, dP_e = ye[0], ye[1]
+                P_e, dP_e = ye[0], ye[1]     # dP/dt(0) = dP/dr(1)
                 dP_e = dP_e / P_e
                 P_e = jnp.ones_like(P_e)
             xi_e = dP_e / (rg.rho_e * (omega ** 2 - k ** 2 * rg.vA_e ** 2))
