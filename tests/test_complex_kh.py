@@ -97,3 +97,36 @@ def test_kh_stable_below_threshold():
     rs, _ = run_case_complex(case, n_re=6, n_im=4, newton_iters=30)
     br = rs["kink"]
     assert not (np.abs(br.omegas_imag) > 1e-4).any()
+
+
+@pytest.mark.slow
+def test_kh_backward_modes_mirror_under_flow_reversal():
+    """Acceptance is sign-symmetric in Re(omega): reversing the flow
+    (U -> -U) mirrors the spectrum omega -> -conj(omega), so the backward
+    (Re < 0) roots of the reversed case must reproduce the forward roots
+    of the original. Guards the r04 defect where `om.real > 0` acceptance
+    made the (-0.5, 0) seed band structurally dead
+    (`flow_multiprocessor_complex_coronal.py:231,1127` seeds it too)."""
+    case = cases.slab_flow_complex_coronal()
+    case = dataclasses.replace(case, n_k=1, k_min=0.5, k_max=0.5)
+    rs_f, _ = run_case_complex(case, n_re=8, n_im=6, newton_iters=30)
+
+    rg = case.regime
+    rg_rev = dataclasses.replace(rg, U_i0=-rg.U_i0, U_e=-rg.U_e)
+    case_rev = dataclasses.replace(
+        case, regime=rg_rev,
+        speeds=tuple(sorted(-s for s in case.speeds)))
+    rs_b, _ = run_case_complex(case_rev, n_re=8, n_im=6, newton_iters=30)
+
+    fwd = rs_f["kink"]
+    bwd = rs_b["kink"]
+    grow_f = fwd.omegas[fwd.omegas_imag > 1e-3]
+    grow_b = bwd.omegas[bwd.omegas_imag > 1e-3]
+    assert len(grow_f) and len(grow_b), (len(fwd), len(bwd))
+    # every forward grower has a mirrored backward twin (Re negated)
+    for om in grow_f:
+        assert np.min(np.abs(grow_b + om)) < 1e-5 * max(1.0, abs(om)), \
+            (om, grow_b)
+    # and the mirrored roots genuinely sit at Re < 0 - impossible before
+    # the sign-symmetric acceptance fix
+    assert (grow_b < 0).all()
