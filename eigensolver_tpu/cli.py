@@ -40,6 +40,9 @@ def _build_case(args):
             case, speeds=tuple(float(s) for s in args.speeds.split(",")))
     if args.n_k:
         case = dataclasses.replace(case, n_k=args.n_k)
+    if getattr(args, "n_interior", None):
+        case = dataclasses.replace(case, grid=dataclasses.replace(
+            case.grid, n_interior=args.n_interior))
     return case
 
 
@@ -64,6 +67,9 @@ def _add_case_args(p, with_case=True):
     p.add_argument("--mode", type=int, default=None)
     p.add_argument("--speeds", default=None, help="comma-separated band edges")
     p.add_argument("--n-k", type=int, default=None)
+    p.add_argument("--n-interior", type=int, default=None,
+                   help="RK4 steps across the non-uniform layer (resolution/"
+                        "speed trade; default per-case GridConfig)")
 
 
 def cmd_cases(args):
