@@ -102,7 +102,14 @@ def main():
                                         "rel_err", "omega_ours",
                                         "omega_ours_window")}
             wins = mis.get("omega_ours_window") or [None] * len(mis["k"])
+            nears = mis.get("omega_ours") or [None] * len(mis["k"])
             for i, (om_r, k) in enumerate(zip(mis["omega_ref"], mis["k"])):
+                # window fallback = the report's nearest root: windows only
+                # list our roots within 2.5% of the pickle entry, but the
+                # dip can sit farther out (same fallback as
+                # ref_recheck.recheck_miss's `win if win else om_o`)
+                if not wins[i] and nears[i] is not None:
+                    wins[i] = [nears[i]]
                 row = prior.get((name, br, round(om_r, 8), round(k, 8)))
                 if row is None:
                     n_missing += 1
