@@ -174,7 +174,18 @@ class SearchConfig:
     n_omega: int = 256
     max_brackets_per_row: int = 8
     n_bisect: int = 60
-    accept_pct: float = 1.0      # residual % at converged root (pole filter)
+    # residual % at the converged root (pole filter). f32 bracket-noise
+    # budget (ADVICE r04 #4): for m >= 1 the inward cylinder integration is
+    # dominated by the irregular ~r^-m component (~100x amplification over
+    # the eps=1e-3..1e-5 axis tail), costing ~2 of the 7 f32 digits; near
+    # continuum bands the f32 determinant can therefore carry spurious
+    # sign changes whose bisected "roots" pass percent-level acceptance.
+    # Production flows neutralise this downstream: refine_on_cpu's
+    # bracketed mask drops candidates the f64 dispersion never brackets,
+    # and acceptance can be re-judged at the f64 zero (accept_pct_refined).
+    # Un-refined f32 sweeps should treat accepted roots within continuum
+    # bands as provisional.
+    accept_pct: float = 1.0
     # When f64 refinement runs (run_case refine_f64), acceptance can be
     # re-judged at the refined root in f64 with this threshold; the scan-stage
     # accept_pct is then typically loosened. Needle-sharp quasi-resonances

@@ -66,6 +66,9 @@ def main():
                     help="extra reproduce --refine jsonl files: medians shown "
                          "in the 'refined median' column (do not override "
                          "the main pass rows)")
+    ap.add_argument("--oracle", nargs="*", default=[],
+                    help="tools/oracle_cylflow.py --out files (third-scheme "
+                         "arbitration, merged)")
     ap.add_argument("--out", default="PARITY_r03.json")
     ap.add_argument("--md", default=None)
     args = ap.parse_args()
@@ -103,8 +106,15 @@ def main():
         for name, rows in detail.items():
             recheck.setdefault(name, []).extend(rows)
 
+    oracle = {}
+    for path in args.oracle:
+        detail = json.load(open(path)).get("detail", {})
+        for name, rows in detail.items():
+            oracle.setdefault(name, []).extend(rows)
+
     from tools.adjudicate import adjudicate
-    result = adjudicate(list(reports.values()), recheck)
+    result = adjudicate(list(reports.values()), recheck,
+                        oracle_detail=oracle)
     json.dump(result, open(args.out, "w"), indent=1)
 
     n_targets = len([k for k in result if not k.startswith("_")])
