@@ -180,12 +180,14 @@ def cylinder_twisted_photospheric(v_twist: float = 0.1, power: float = 1.0,
         k_min=0.15, k_max=4.0, n_k=60,
         speeds=(0.9, 1.0, 1.1, 1.2, 1.3, 1.4),
         modes=(mode,),
-        grid=GridConfig(axis_epsilon=0.01, n_interior=1536),
-        # n_interior 1536 (was 2048): f32-scan twisted roots move <= 0.18%
-        # on 5 of 306 bench roots (all still f64-bracketing), and the
-        # refined parity rates/medians are IDENTICAL to the 2048 runs
-        # (twist_v01_p1 101/102 med 2.005e-3, v015 sfast 160/160,
-        # v025_p1 103/105 - measured r05); -25% interior wall.
+        grid=GridConfig(axis_epsilon=0.01,
+                        n_interior=1536 if v_twist < 0.2 else 2048),
+        # Resolution policy (measured r05): at v_twist <= 0.15 the 1536-step
+        # interior gives refined parity rates/medians IDENTICAL to 2048
+        # (twist_v01_p1 101/102 med 2.005e-3; v015 sfast 160/160) at -25%
+        # wall; at v_twist = 0.25 the sausage slow branches LOSE 11 matched
+        # roots at 1536 (sharper v_phi^2 pressure gradient), so strong
+        # twists keep the full 2048 steps.
     )
 
 
@@ -213,12 +215,9 @@ def cylinder_twisted_magnetic(B_twist: float = 0.1, v_twist: float = 0.0,
         k_min=0.15, k_max=4.0, n_k=60,
         speeds=(0.9, 1.0, 1.1, 1.2, 1.3, 1.4),
         modes=(mode,),
-        grid=GridConfig(axis_epsilon=0.01, n_interior=1536),
-        # n_interior 1536 (was 2048): f32-scan twisted roots move <= 0.18%
-        # on 5 of 306 bench roots (all still f64-bracketing), and the
-        # refined parity rates/medians are IDENTICAL to the 2048 runs
-        # (twist_v01_p1 101/102 med 2.005e-3, v015 sfast 160/160,
-        # v025_p1 103/105 - measured r05); -25% interior wall.
+        grid=GridConfig(axis_epsilon=0.01,
+                        n_interior=1536 if v_twist < 0.2 else 2048),
+        # same resolution policy as cylinder_twisted_photospheric
     )
 
 

@@ -53,7 +53,7 @@ if not indep:
     init_distributed()
     nproc = jax.process_count()
 else:
-    nproc = 1
+    nproc = 1   # own slice; no distributed runtime at all
 
 n_k = int(os.environ["BENCH_NK_PER_PROC"]) * nproc
 n_omega = int(os.environ["BENCH_N_OMEGA"])
@@ -65,8 +65,13 @@ case = dataclasses.replace(
 cfg = SearchConfig(n_omega=n_omega, n_bisect=14,
                    scan_dtype="float32", polish_dtype="float32")
 if indep:
-    from eigensolver_tpu.sweep import run_case
-    run = lambda: run_case(case, cfg)
+    # identical SPMD program on a LOCAL 1-device mesh - no coordinator, no
+    # collectives, but the same row bucketing/padding as the distributed
+    # run (a plain run_case pads rows to bucket 128 and is not
+    # wall-comparable)
+    from eigensolver_tpu.parallel import make_mesh as _mm, run_case_sharded as _rcs
+    mesh = _mm()
+    run = lambda: _rcs(case, mesh, cfg)
 else:
     mesh = make_mesh()
     run = lambda: run_case_sharded(case, mesh, cfg)
@@ -174,6 +179,9 @@ def main():
             "n_candidates_2proc": r2[0]["n_candidates"],
             "weak_efficiency_vs_1proc": round(wall1 / wall2, 4),
             "weak_efficiency_vs_independent": round(wall_i / wall2, 4),
+            # capped at ideal: values above 1.0 mean the distributed
+            # runtime's cost is below host run-to-run variance
+            "headline_efficiency": round(min(1.0, wall_i / wall2), 4),
             "mechanism": "2 local processes, 1 CPU device + 1 pinned core "
                          "each, jax.distributed over localhost grpc; "
                          "headline efficiency = wall(2 independent procs)/"
