@@ -55,16 +55,24 @@ def params_for(name):
     """Equilibrium constants of the cyl_flow family
     (`Cylinder_method_flow_testing.py:60-80`; U/width identified in
     tools/reproduce.py TARGETS)."""
-    base = dict(c_i0=1.0, vA_i0=2.0, c_e=0.5, vA_e=5.0, rho_i0=1.0)
+    coronal = dict(c_i0=1.0, vA_i0=2.0, c_e=0.5, vA_e=5.0, rho_i0=1.0)
+    photo = dict(c_i0=1.0, vA_i0=2.0, c_e=1.5, vA_e=0.5, rho_i0=1.0)
     table = {
-        "cyl_flow_noflow": dict(U=0.0, width=1.0, uniform=True),
-        "cyl_flow_1e5": dict(U=0.05, width=1e5, uniform=True),
-        "cyl_flow_06": dict(U=0.05, width=0.6, uniform=False),
-        "cyl_flow_1": dict(U=0.05, width=1.0, uniform=False),
+        # axial-flow family (uniform density, Gaussian v_z)
+        "cyl_flow_noflow": dict(U=0.0, width=1.0, uniform=True, **coronal),
+        "cyl_flow_1e5": dict(U=0.05, width=1e5, uniform=True, **coronal),
+        "cyl_flow_06": dict(U=0.05, width=0.6, uniform=False, **coronal),
+        "cyl_flow_1": dict(U=0.05, width=1.0, uniform=False, **coronal),
+        # density family (Gaussian rho, U = 0; `Density_cylinder_
+        # photospheric.py` constants) - uniform at width 1e5
+        "cyl_ph_1e5": dict(U=0.0, density_width=1e5, uniform=True, **photo),
+        "cyl_ph_09": dict(U=0.0, density_width=0.9, uniform=False, **photo),
+        "cyl_ph_15": dict(U=0.0, density_width=1.5, uniform=False, **photo),
+        "cyl_ph_3": dict(U=0.0, density_width=3.0, uniform=False, **photo),
     }
     if name not in table:
         return None
-    p = dict(base, **table[name])
+    p = dict(table[name])
     p["rho_e"] = (p["rho_i0"] * (p["c_i0"] ** 2 + GAMMA / 2 * p["vA_i0"] ** 2)
                   / (p["c_e"] ** 2 + GAMMA / 2 * p["vA_e"] ** 2))
     p["cT_e"] = np.sqrt(p["c_e"] ** 2 * p["vA_e"] ** 2
@@ -134,21 +142,35 @@ def _cheb_diff(n, a, b):
 def colloc_residual(p, om, k, m, n=256, eps=1e-4):
     """Signed xi-ratio mismatch from spectral collocation of
     F P'' + F' P' - g P = 0 on [eps, 1] with the parity axis BC, against
-    the exact K_m exterior. Independent of all marching schemes."""
-    rho, W, U = p["rho_i0"], p["width"], p["U"]
-    B = p["vA_i0"] * np.sqrt(rho)
+    the exact K_m exterior. Independent of all marching schemes. Handles
+    both non-uniform families: Gaussian v_z with uniform density
+    (`Cylinder_method_flow_testing.py`) and Gaussian density with no flow
+    (`Density_cylinder[_photospheric].py` coefficient chain)."""
+    GAMMA_ = GAMMA
+    rho0 = p["rho_i0"]
+    B = p["vA_i0"] * np.sqrt(rho0)
 
     r, D1 = _cheb_diff(n, eps, 1.0)
 
-    vz = U * np.exp(-r ** 2 / W ** 2)
+    if "density_width" in p:
+        W = p["density_width"]
+        rho = p["rho_e"] + (rho0 - p["rho_e"]) * np.exp(-r ** 2 / W ** 2)
+        vz = 0.0 * r
+        vA2 = B ** 2 / rho
+        c2 = (p["rho_e"] * (p["c_e"] ** 2 + GAMMA_ / 2 * p["vA_e"] ** 2)
+              / rho - GAMMA_ / 2 * vA2)
+    else:
+        W = p["width"]
+        rho = rho0 + 0.0 * r
+        vz = p["U"] * np.exp(-r ** 2 / W ** 2)
+        vA2 = p["vA_i0"] ** 2 + 0.0 * r
+        c2 = p["c_i0"] ** 2 + 0.0 * r
     shift = om - k * vz
     alf2 = k ** 2 * B ** 2 / rho
-    c2 = p["c_i0"] ** 2
-    vA2 = p["vA_i0"] ** 2
-    cT2 = p["cT_i"] ** 2
-    Dcoef = rho * (c2 + vA2) * (shift ** 2 - alf2) * (shift ** 2 - alf2 * c2 / (c2 + vA2))
-    C2 = shift ** 4 - (c2 + vA2) * (m ** 2 / r ** 2 + k ** 2) * (shift ** 2 - alf2 * c2 / (c2 + vA2))
-    F = r * Dcoef / (Dcoef * rho * (shift ** 2 - alf2))   # = r/(rho(shift^2-alf2))
+    cusp2 = alf2 * c2 / (c2 + vA2)
+    Dcoef = rho * (c2 + vA2) * (shift ** 2 - alf2) * (shift ** 2 - cusp2)
+    C2 = shift ** 4 - (c2 + vA2) * (m ** 2 / r ** 2 + k ** 2) * (shift ** 2 - cusp2)
+    F = r / (rho * (shift ** 2 - alf2))
     g = -r * C2 / Dcoef
     Fp = D1 @ F                                            # spectral derivative
 
@@ -170,7 +192,7 @@ def colloc_residual(p, om, k, m, n=256, eps=1e-4):
     except np.linalg.LinAlgError:
         return np.nan
     dP1 = float(D1[0, :] @ P)
-    xi_i = dP1 / (rho * (shift[0] ** 2 - alf2))
+    xi_i = dP1 / float(np.asarray(rho * (shift ** 2 - alf2)).ravel()[0])
     xi_e = _xi_ratio_ext(p, om, k, m)
     den = max(abs(xi_i), abs(xi_e))
     return (xi_e - xi_i) / den if den > 0 else np.nan

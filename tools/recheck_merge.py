@@ -44,7 +44,10 @@ def rejudge(row, window, tol):
     if dev_ours < tol <= dev_ref:
         out["verdict"] = "ref_error"
     elif dev_ref < tol:
-        out["verdict"] = "genuine"
+        # closer-side rule when BOTH are inside tolerance (see
+        # ref_recheck.recheck_miss - kept identical)
+        out["verdict"] = ("ref_error"
+                          if dev_ours < 0.5 * dev_ref else "genuine")
     else:
         out["verdict"] = "both_off"
     out["dev_ref"] = round(dev_ref, 6)

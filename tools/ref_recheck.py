@@ -511,7 +511,13 @@ def recheck_miss(args):
     if dev_ours < tol <= dev_ref:
         out["verdict"] = "ref_error"
     elif dev_ref < tol:
-        out["verdict"] = "genuine"
+        # both sides can sit inside the tolerance at once (the pickle's
+        # first-acceptance offset is the same order as tol): the arbiter
+        # then picks the side its converged dip actually lands on - a dip
+        # 5x closer to our root than to the shipped value confirms ours,
+        # not the pickle (tolerance-boundary cluster, PARITY r05)
+        out["verdict"] = ("ref_error"
+                          if dev_ours < 0.5 * dev_ref else "genuine")
     else:
         out["verdict"] = "both_off"
     out["dev_ref"] = round(dev_ref, 6)
