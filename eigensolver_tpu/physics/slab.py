@@ -38,6 +38,45 @@ from ..ode import rk4_final
 from ..profiles import elementwise_grad
 
 
+def _rk4_linear_flux(coef, y0, x0, x1, n_steps: int, unroll: int = 1):
+    """Classical RK4 specialised to the LINEAR flux-form system
+    d(vx, w)/dx = (w * invF, w_rate * vx) with a TUPLE state: the
+    coefficient chain `coef(x) -> (invF, w_rate)` is evaluated at the 3
+    distinct RK4 abscissae per step (k2/k3 share the midpoint chain) and
+    the per-stage arithmetic is purely elementwise under vmap (a stacked
+    (batch, 2) carry costs strided column slices per stage). Update
+    arithmetic matches `ode.rk4_final` over `make_flux_rhs` exactly; the
+    cylinder twin is `physics/cylinder._rk4_linear2`."""
+    from jax import lax
+
+    h = (x1 - x0) / n_steps
+
+    def apply(c, y):
+        invF, w_rate = c
+        vx, w = y
+        return (w * invF, w_rate * vx)
+
+    def axpy(a, y, k):
+        return tuple(yi + a * ki for yi, ki in zip(y, k))
+
+    def step(y, i):
+        x = x0 + i * h
+        cA = coef(x)
+        cM = coef(x + 0.5 * h)
+        cB = coef(x + h)
+        k1 = apply(cA, y)
+        k2 = apply(cM, axpy(0.5 * h, y, k1))
+        k3 = apply(cM, axpy(0.5 * h, y, k2))
+        k4 = apply(cB, axpy(h, y, k3))
+        y_next = tuple(
+            yi + (h / 6.0) * (a + 2 * b + 2 * c_ + d)
+            for yi, a, b, c_, d in zip(y, k1, k2, k3, k4))
+        return y_next, None
+
+    yf, _ = lax.scan(step, y0, jnp.arange(n_steps), unroll=unroll)
+    return yf
+
+
 class SlabInterface(NamedTuple):
     """Quantities at the matching boundary x = +1 for one (omega, k)."""
 
@@ -128,10 +167,20 @@ class SlabPhysics:
         pole). Only the cusp continuum omega = k cT_i(x) stays genuinely
         singular, exactly as in the physics.
         """
-        eq = self.eq
+        coef = self.make_flux_coef(omega, k)
 
         def rhs(x, y):
             vx, w = y[0], y[1]
+            inv_F, w_rate = coef(x)
+            return jnp.stack([w * inv_F, w_rate * vx])
+
+        return rhs
+
+    def make_flux_coef(self, omega, k):
+        """Coefficient chain of the flux form: coef(x) -> (1/F, F m0)."""
+        eq = self.eq
+
+        def coef(x):
             Om = omega - k * eq.U_i(x)
             rho = eq.rho_i(x)
             c2 = eq.c_i(x) ** 2
@@ -140,9 +189,9 @@ class SlabPhysics:
             inv_F = (k**2 * c2 - Om**2) / (
                 rho * (c2 + a2) * (k**2 * cT2 - Om**2))
             w_rate = rho * (k**2 * a2 - Om**2)
-            return jnp.stack([w * inv_F, w_rate * vx])
+            return inv_F, w_rate
 
-        return rhs
+        return coef
 
     def make_shear_rhs(self, omega, k):
         """Direct (vx, vx') form with the shear terms D(x), coeff(x) - the
@@ -225,14 +274,20 @@ class SlabPhysics:
 
             if not has_flow:
                 # --- self-adjoint flux form: state (vx, w = F vx') ----------
-                rhs = self.make_flux_rhs(omega, k)
+                # TUPLE state + 3-abscissa linear stepper (same rewrite as
+                # the cylinder interior, `physics/cylinder._rk4_linear2`):
+                # under vmap a stacked (batch, 2) carry turns every RK4
+                # stage into strided column slices, and the coefficient
+                # chain ran once per stage instead of once per abscissa
+                # (k2/k3 share the midpoint). Arithmetic is unchanged.
+                coef = self.make_flux_coef(omega, k)
                 F0 = self.interior_F(jnp.asarray(0.0, dtype), omega, k)
                 # sausage (par=0): vx odd => y0 = (0, F0); kink: (1, 0)
-                y0 = jnp.stack([par * jnp.ones_like(F0), (1.0 - par) * F0])
+                y0 = (par * jnp.ones_like(F0), (1.0 - par) * F0)
 
-                yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
-                               jnp.asarray(1.0, dtype), n_steps,
-                               unroll=case.grid.scan_unroll)
+                yb = _rk4_linear_flux(coef, y0, jnp.asarray(0.0, dtype),
+                                      jnp.asarray(1.0, dtype), n_steps,
+                                      unroll=case.grid.scan_unroll)
                 vx_b, w_b = yb[0], yb[1]
                 Om_i = omega - k * eq.U_i(jnp.asarray(1.0, dtype))
                 PT_i = w_b / Om_i          # PT = F vx' / Omega = w / Omega
