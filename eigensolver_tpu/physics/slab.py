@@ -77,6 +77,42 @@ def _rk4_linear_flux(coef, y0, x0, x1, n_steps: int, unroll: int = 1):
     return yf
 
 
+def _rk4_linear_shear(coef, y0, x0, x1, n_steps: int, unroll: int = 1):
+    """`_rk4_linear_flux` twin for the shear form: state (vx, dvx) with
+    d(vx, dvx)/dx = (dvx, -D dvx - coeff vx), chain `coef(x) -> (D, coeff)`
+    at the 3 distinct RK4 abscissae per step. Arithmetic matches
+    `ode.rk4_final` over `make_shear_rhs` exactly (complex state included -
+    the KH path integrates the same form in complex omega)."""
+    from jax import lax
+
+    h = (x1 - x0) / n_steps
+
+    def apply(c, y):
+        Dx, coeff = c
+        vx, dvx = y
+        return (dvx, -Dx * dvx - coeff * vx)
+
+    def axpy(a, y, k):
+        return tuple(yi + a * ki for yi, ki in zip(y, k))
+
+    def step(y, i):
+        x = x0 + i * h
+        cA = coef(x)
+        cM = coef(x + 0.5 * h)
+        cB = coef(x + h)
+        k1 = apply(cA, y)
+        k2 = apply(cM, axpy(0.5 * h, y, k1))
+        k3 = apply(cM, axpy(0.5 * h, y, k2))
+        k4 = apply(cB, axpy(h, y, k3))
+        y_next = tuple(
+            yi + (h / 6.0) * (a + 2 * b + 2 * c_ + d)
+            for yi, a, b, c_, d in zip(y, k1, k2, k3, k4))
+        return y_next, None
+
+    yf, _ = lax.scan(step, y0, jnp.arange(n_steps), unroll=unroll)
+    return yf
+
+
 class SlabInterface(NamedTuple):
     """Quantities at the matching boundary x = +1 for one (omega, k)."""
 
@@ -199,12 +235,22 @@ class SlabPhysics:
         (`flow_multiprocessor_coronal.py:317-356`; corrected-D variant
         `flow_multiprocessor_complex_coronal.py:381-385`, selected by
         case.shear_D_legacy)."""
+        coef = self.make_shear_coef(omega, k)
+
+        def rhs(x, y):
+            vx, dvx = y[0], y[1]
+            Dx, coeff = coef(x)
+            return jnp.stack([dvx, -Dx * dvx - coeff * vx])
+
+        return rhs
+
+    def make_shear_coef(self, omega, k):
+        """Coefficient chain of the shear form: coef(x) -> (D(x), coeff(x))."""
         case, eq = self.case, self.eq
         dU = elementwise_grad(eq.U_i)
         ddU = elementwise_grad(dU)
 
-        def rhs(x, y):
-            vx, dvx = y[0], y[1]
+        def coef(x):
             Om = omega - k * eq.U_i(x)
             rgl = eq.regime
             c2 = rgl.c_i0 ** 2
@@ -230,9 +276,9 @@ class SlabPhysics:
                       * (Om**2 / (Om**2 - k**2 * c2)
                          - (k**2 * cT2) / (Om**2 - k**2 * cT2)) / Om)
             coeff = (k * ddUx / Om) + (k * dUx * Dx / Om) - m0
-            return jnp.stack([dvx, -Dx * dvx - coeff * vx])
+            return Dx, coeff
 
-        return rhs
+        return coef
 
     # -- dispersion function -------------------------------------------------
 
@@ -293,12 +339,15 @@ class SlabPhysics:
                 PT_i = w_b / Om_i          # PT = F vx' / Omega = w / Omega
             else:
                 # --- direct (vx, vx') form with shear terms -----------------
-                rhs = self.make_shear_rhs(omega, k)
+                # tuple carry + 3-abscissa stepper, as in the flux branch
+                # (the shear chain carries dU/ddU jax.grad terms per eval -
+                # the k2/k3 midpoint share cuts it from 4 to 3 per step)
+                coef = self.make_shear_coef(omega, k)
                 parc = par.astype(cdtype)
-                y0 = jnp.stack([parc, 1.0 - parc])
-                yb = rk4_final(rhs, y0, jnp.asarray(0.0, dtype),
-                               jnp.asarray(1.0, dtype), n_steps,
-                               unroll=case.grid.scan_unroll)
+                y0 = (parc, 1.0 - parc)
+                yb = _rk4_linear_shear(coef, y0, jnp.asarray(0.0, dtype),
+                                       jnp.asarray(1.0, dtype), n_steps,
+                                       unroll=case.grid.scan_unroll)
                 vx_b, dvx_b = yb[0], yb[1]
                 x1 = jnp.asarray(1.0, dtype)
                 Om_i = omega - k * eq.U_i(x1)
