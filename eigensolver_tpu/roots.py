@@ -75,6 +75,26 @@ def dedup_roots(omegas: np.ndarray, ks: np.ndarray, rel_tol: float = 1e-4,
     return (om[keep], kk[keep], *[np.asarray(e)[order][keep] for e in extras])
 
 
+def merge_rootsets(a: "RootSet", b: "RootSet",
+                   rel_tol: float = 1e-6) -> "RootSet":
+    """Union of two sweeps' branches with duplicate removal.
+
+    rel_tol defaults to 1e-6 (not `Tolerances.dedup_rel`): the second set
+    is typically a needle pass (`sweep.run_needle_pass`) whose roots are
+    spaced closer than the production dedup tolerance - a 1e-4 merge would
+    chain-collapse the forest it just resolved. True duplicates (the same
+    zero found by both passes) agree to bisection accuracy (~1e-12), so a
+    tight tolerance removes exactly those."""
+    branches = {}
+    for bname in set(a.branches) | set(b.branches):
+        parts = [s.branches[bname] for s in (a, b) if bname in s.branches]
+        om = np.concatenate([p.omegas for p in parts])
+        kk = np.concatenate([p.ks for p in parts])
+        om, kk = dedup_roots(om, kk, rel_tol=rel_tol)
+        branches[bname] = RootBranch(omegas=om, ks=kk).sorted_by_k()
+    return RootSet(branches, case_name=a.case_name or b.case_name)
+
+
 def dedup_complex_roots(omegas: np.ndarray, ks: np.ndarray,
                         rel_tol: float = 1e-4):
     """Dedup complex roots: same k, complex distance within rel_tol relative.

@@ -481,6 +481,168 @@ def finalize_branches(pr, modes, case: CaseConfig, search: SearchConfig,
     return branches
 
 
+def needle_edges(case: CaseConfig, labels: Optional[tuple] = ("cusp",)):
+    """Continuum band edges where near-edge spectral structure lives.
+
+    Returns ((edge_v, side, in_band), ...): one thin window per band edge
+    and direction - `side = +-1` is the direction of the window relative
+    to the edge (v = edge + side * |edge| * d), `in_band` whether that
+    direction points INTO the continuum band. Covers both edges of every
+    matching band, including the negative mirrors. `labels` filters by
+    continuum name substring (default: the cusp/cT continua, where the
+    reference pickles carry near-edge entries); None = every genuine
+    band. Edges are the UNSHRUNK boundaries (guard=0): windows anchor at
+    the true characteristic speed, not at the bracket-masking band used
+    by `SearchConfig.exclude_v_ranges`."""
+    from .equilibrium import genuine_continua
+    edges = []
+    for lo, hi, lab in genuine_continua(case, guard=0.0):
+        if labels is not None and not any(s in lab for s in labels):
+            continue
+        edges.append((float(lo), -1.0, False))
+        edges.append((float(lo), +1.0, True))
+        edges.append((float(hi), -1.0, True))
+        edges.append((float(hi), +1.0, False))
+    return tuple(edges)
+
+
+def run_needle_pass(case: CaseConfig, search: Optional[SearchConfig] = None,
+                    edges=None, modes=None, n_omega: int = 512,
+                    width_rel: float = 3e-3, margin_rel: float = 2e-7,
+                    max_brackets_per_row: int = 128, edge_modes: int = 1,
+                    ks=None,
+                    n_interior: Optional[int] = 512) -> tuple[RootSet, SweepStats]:
+    """Resolve the near-edge spectral structure the production ladder
+    cannot: discrete quasi-resonances hugging a continuum edge from
+    outside, and the band-edge accumulation of the in-band spectrum.
+
+    Two measured regimes at the cusp (cT) continuum edges (slab width-3
+    photospheric / width-1.5 coronal, f64 determinant):
+
+    * OUTSIDE the band the spectrum is sparse but can hold an isolated
+      discrete zero within ~1e-5 |v| of the edge (the slow mode pinned to
+      the cusp-band top) - three orders of magnitude inside the
+      production ladder's panel width AND inside its `ladder_edge_shrink`
+      margin, so the main sweep never evaluates there. All accepted
+      outside-window zeros are kept: they are ordinary converged
+      eigenvalues.
+    * INSIDE the band the discretized operator's point spectrum densifies
+      toward the edge; individual crossings shift with `n_interior`, but
+      the innermost zero converges TO THE EDGE at O(1/n_interior)
+      (measured 1024/2048/4096: distance 1.0e-5 -> 5.1e-6 -> 2.4e-6 of
+      |omega|). That limit - the band-edge accumulation point - is a
+      resolution-independent spectral feature, and it is precisely what
+      the reference's fixed-resolution shooting records as a root there
+      (entries at the cT edge to ~2e-7 in v,
+      `multiprocessor_Inhomogeneous_method.py:790-835`). Only the
+      `edge_modes` innermost in-band zeros per (k, edge) are kept, as
+      markers of that accumulation point; the rest of the in-band forest
+      is discretization noise and is dropped.
+
+    Windows are LOG-spaced in distance-to-edge (spacing proportional to
+    the distance resolves the densifying structure at every depth with
+    ~500 points instead of the ~10^6 a uniform ladder would need), run in
+    float64 (the structure sits below the f32 cancellation-noise floor)
+    on the host CPU, through the same fused
+    scan->bracket->bisect->accept pipeline and `finalize_branches` as the
+    main sweep; pole crossings are rejected by the residual acceptance at
+    the converged point. Dedup is tightened to 1e-6 relative so adjacent
+    near-edge zeros survive as distinct roots.
+
+    ks: optional explicit k subset (defaults to the case grid).
+    n_interior: RK4 step override for this pass (default 512, vs the
+    production 2048): the outside-window zeros are RK4-converged there
+    (O(h^4) ~ 1e-11 relative), and the in-band markers' distance to the
+    edge is set by the discretization itself (O(1/n) above), not by
+    integration error - a moderate fixed grid is part of the marker's
+    definition. None = keep the case grid.
+    Returns (RootSet, SweepStats); combine with a main sweep via
+    `roots.merge_rootsets`.
+    """
+    if not jax.config.jax_enable_x64:
+        raise ValueError("run_needle_pass requires jax_enable_x64 (the "
+                         "needle forest is below f32 resolution)")
+    if edges is None:
+        edges = needle_edges(case)
+    modes = tuple(modes) if modes is not None else case.modes
+    name = MODE_NAMES.get
+    if not edges:
+        empty = RootBranch(omegas=np.zeros(0), ks=np.zeros(0))
+        return (RootSet({name(m, f"m{m}"): empty for m in modes},
+                        case_name=case.name), SweepStats())
+    # reference-tolerance acceptance (p_tol ~ 3%): the in-band near-edge
+    # zeros are quasi-resonances whose converged-point residual can sit at
+    # percent level, like the entries the reference records there
+    search = search or SearchConfig(accept_pct=case.tol.p_tol, n_bisect=30)
+    search = dataclasses.replace(
+        search, scan_dtype="float64", polish_dtype="float64",
+        n_omega=n_omega,
+        max_brackets_per_row=min(max_brackets_per_row, n_omega - 1),
+        fuzz_accept_pct=None, fuzz_stride=1)
+    if n_interior is not None:
+        case = dataclasses.replace(case, grid=dataclasses.replace(
+            case.grid, n_interior=n_interior))
+    # near-edge spacing is ~1e-5 relative; the production dedup_rel=1e-4
+    # would chain-collapse the structure onto one root per ~1e-4 cluster,
+    # displacing kept roots by more than the match tolerance
+    case = dataclasses.replace(
+        case, tol=dataclasses.replace(case.tol, dedup_rel=1e-6))
+    ks = np.asarray(case.k_grid() if ks is None else ks, dtype=np.float64)
+    d = np.geomspace(margin_rel, width_rel, n_omega)
+    rows_om, rows_k = [], []
+    for k in ks:
+        for edge, side, _ in edges:
+            v = np.sort(edge + side * abs(edge) * d)
+            rows_om.append(v * k)
+            rows_k.append(k)
+    omegas = jnp.asarray(np.stack(rows_om))
+    kcol = jnp.asarray(np.array(rows_k))
+    rows = omegas.shape[0]
+    omegas_f = jnp.concatenate([omegas] * len(modes))
+    ks_f = jnp.concatenate([kcol] * len(modes))
+    modes_f = jnp.concatenate(
+        [jnp.full((rows,), float(m)) for m in modes])
+    disp = make_dispersion_moded(case, jnp.dtype("float64"))
+    stats = SweepStats()
+    t0 = time.time()
+    # f64 has no TPU support: run on the host CPU like refine_on_cpu
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pr = search_rows(disp, disp, omegas_f, ks_f, search,
+                         modes=modes_f)
+        jax.block_until_ready(pr.mask)
+        branches = finalize_branches(pr, modes, case, search)
+    # keep only the `edge_modes` innermost zeros of each IN-BAND window
+    # per (k, edge): markers of the band-edge accumulation point (see
+    # docstring); deeper in-band crossings are discretization noise
+    branches = {bn: _filter_edge_modes(br, edges, width_rel, edge_modes)
+                for bn, br in branches.items()}
+    stats.n_roots = sum(len(b) for b in branches.values())
+    stats.n_candidates = omegas_f.size
+    stats.wall_s = time.time() - t0
+    return RootSet(branches, case_name=case.name), stats
+
+
+def _filter_edge_modes(branch: RootBranch, edges, width_rel: float,
+                       edge_modes: int) -> RootBranch:
+    """Per (k, in-band window): keep the `edge_modes` roots nearest the
+    edge, drop the rest (run_needle_pass in-band policy)."""
+    om, kk = branch.omegas, branch.ks
+    keep = np.ones(len(om), dtype=bool)
+    v = np.where(kk != 0, om / np.where(kk != 0, kk, 1.0), 0.0)
+    for edge, side, in_band in edges:
+        if not in_band:
+            continue
+        dist = side * (v - edge) / abs(edge)
+        member = (dist > 0) & (dist <= width_rel)
+        for k in np.unique(kk[member]):
+            idx = np.where(member & (kk == k))[0]
+            if len(idx) > edge_modes:
+                order = np.argsort(dist[idx])
+                keep[idx[order[edge_modes:]]] = False
+    return RootBranch(omegas=om[keep], ks=kk[keep]).sorted_by_k()
+
+
 def run_case(case: CaseConfig, search: Optional[SearchConfig] = None,
              modes=None, device=None, refine_f64: bool = False,
              timer=None) -> tuple[RootSet, SweepStats]:

@@ -158,6 +158,17 @@ from targets_auto import generate as _auto_generate  # noqa: E402
 TARGETS.update(_auto_generate(
     existing_pickles=[s["pickle"] for s in TARGETS.values()]))
 
+# Band-edge pass (sweep.run_needle_pass) for the targets whose pickles carry
+# entries AT the cusp-continuum edges: the slab_ph_3 sausage entries sit at
+# the cT band-edge accumulation point (v within 2e-7 of the edge), the
+# slab_co_15 / zoom entries are an isolated discrete zero ~1e-5 |v| above the
+# band top - both inside the production ladder's edge_shrink margin, so the
+# main sweep never evaluates there (PARITY_r05 "needle" miss class; resolved
+# by direct f64 scan, see run_needle_pass docstring). The pickled branches
+# there are sausage-only; the mirror (negative-v) bands carry no entries.
+for _t in ("slab_ph_3", "slab_co_15", "slab_co_15zoom"):
+    TARGETS[_t]["needle"] = dict(modes=(0,), positive_only=True)
+
 
 def match_report(ref_br, our_br, v_lo, v_hi, tol=3e-3, misses=None):
     matched, total, errs = 0, 0, []
@@ -292,11 +303,27 @@ def run_target(name, spec, scan_dtype="float32", n_omega=384,
                        accept_pct_refined=3.0 if refine_f64 else None)
     t0 = time.time()
     rs, st = run_case(case, cfg, refine_f64=refine_f64)
+    ndl = spec.get("needle")
+    needle_counts = None
+    if ndl:
+        # band-edge pass: f64 on host CPU, merged at tight dedup so the
+        # near-edge roots survive (see sweep.run_needle_pass)
+        from eigensolver_tpu.roots import merge_rootsets
+        from eigensolver_tpu.sweep import needle_edges, run_needle_pass
+        edges = needle_edges(case)
+        if ndl.get("positive_only"):
+            edges = tuple(e for e in edges if e[0] > 0)
+        nrs, _ = run_needle_pass(case, edges=edges,
+                                 modes=ndl.get("modes"))
+        needle_counts = nrs.counts()
+        rs = merge_rootsets(rs, nrs)
     wall = time.time() - t0
     speeds = sorted(spec["speeds"])
     v_lo, v_hi = speeds[0], speeds[-1]
     out = {"target": name, "wall_s": round(wall, 1),
            "candidates": st.n_candidates, "found": rs.counts()}
+    if needle_counts is not None:
+        out["needle_roots"] = needle_counts
     for bname, br in ref.branches.items():
         ours = rs.branches.get(bname)
         if ours is None or len(br) == 0:
